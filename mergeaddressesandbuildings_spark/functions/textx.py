@@ -43,13 +43,23 @@ def extract_text(html: bytes) -> str:
     return text.strip()
 
 
-def extract_geo_records(html: bytes) -> list[dict]:
+def extract_geo_records(html: bytes, strict: bool = True) -> list[dict]:
     """Parse the page's geo-record spans → list of dicts, each annotated
     with ``record_idx`` (0-based position among ALL spans in the page —
-    the §8.6 stable-id key)."""
+    the §8.6 stable-id key).
+
+    ``strict=False`` (the production-extraction default at scale) skips
+    unparseable spans instead of failing the task; the skipped span still
+    consumes its record_idx so ids stay stable under partial corruption.
+    """
     records = []
     for idx, m in enumerate(_GEO_SPAN.finditer(html)):
-        rec = json.loads(m.group(1).decode("utf-8"))
+        try:
+            rec = json.loads(m.group(1).decode("utf-8"))
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            if strict:
+                raise
+            continue
         rec["record_idx"] = idx
         records.append(rec)
     return records

@@ -1,0 +1,109 @@
+"""The flagship plan: full address↔building merge pipeline
+(SURVEY.md §3.2 E3; BASELINE.json:6 north_star).
+
+    pages ──F9──► extract (S3) ──► addresses ──J4 dedupe──┐
+                              └──► new buildings ──J3─────┤
+    existing_osm ─────────────► existing tables ──────────┤
+                                                          ▼
+                      buildings universe = survivors ∪ existing ways
+                                                          │
+        J1 PIP cogroup-on-cell ──► winners ──┐            │
+        J2 kNN on the unmatched remainder ───┤◄───────────┘
+                                             ▼
+              decisions (A1/J5) ──► assignments + output sets
+                                             ▼
+                    tiling (T4/T5) ──► tile column, budgeted
+
+Every stage is a DataFrame; the only Python crossings are the Arrow
+kernels (extraction, PIP/kNN refine, tile encode).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark import StorageLevel
+
+from mergeaddressesandbuildings_spark import config
+from mergeaddressesandbuildings_spark.operators import (
+    decisions as dec,
+    dedupe,
+    extract,
+    spatial_join as sj,
+    tiling,
+)
+
+
+@dataclass
+class MergeResult:
+    addresses: DataFrame
+    buildings: DataFrame
+    assignments: DataFrame
+    sets: DataFrame
+    tiles: DataFrame  # assignments+buildings with tile column
+
+
+def run_merge(
+    spark: SparkSession,
+    pages: DataFrame,
+    existing_osm: DataFrame | None = None,
+    level: int = config.CELL_LEVEL,
+    budget: int = config.TILE_MAX_ELEMS,
+    knn_cutoff_m: float = config.KNN_CUTOFF_M,
+    salt_threshold: int = config.SALT_THRESHOLD,
+    broadcast_max: int = config.BROADCAST_BUILDINGS_MAX,
+) -> MergeResult:
+    records = extract.extract_records(pages, level=level)
+    # materialize the extraction once: addresses & buildings both branch
+    # from it, and persisting here keeps `html` out of every later scan
+    records = records.persist(StorageLevel.MEMORY_AND_DISK)
+
+    addresses, new_buildings = extract.split_records(records)
+
+    if existing_osm is not None:
+        ex_nodes, ex_ways = extract.existing_to_tables(existing_osm, level=level)
+        ex_ways = ex_ways.persist(StorageLevel.MEMORY_AND_DISK)
+        addresses = dedupe.dedupe_addresses(addresses, ex_nodes)
+        new_buildings = dedupe.dedupe_buildings(new_buildings, ex_ways)
+        buildings = new_buildings.unionByName(ex_ways)
+    else:
+        buildings = new_buildings
+
+    addresses = addresses.persist(StorageLevel.MEMORY_AND_DISK)
+    buildings = buildings.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # J6 broadcast decision: small building side → ship as closure, no
+    # shuffle at all. (On a cluster this is the per-region fast path.)
+    n_bld = buildings.count()
+    broadcast_pdf = None
+    if n_bld <= broadcast_max:
+        broadcast_pdf = buildings.select(
+            "building_id", "ring_lats", "ring_lons",
+            "min_lat", "min_lon", "max_lat", "max_lon", "area_m2", "cells",
+        ).toPandas()
+
+    pip = sj.pip_candidates(addresses, buildings, broadcast_pdf=broadcast_pdf,
+                            salt_threshold=salt_threshold)
+    pip_winners = sj.pick_pip_winner(pip)
+
+    unmatched = addresses.join(pip_winners.select("addr_id"), "addr_id", "left_anti")
+    knn = sj.knn_candidates(unmatched, buildings, cutoff_m=knn_cutoff_m,
+                            level=level, broadcast_pdf=broadcast_pdf,
+                            salt_threshold=salt_threshold)
+    knn_winners = sj.pick_knn_winner(knn)
+
+    assignments = dec.assign(addresses, pip_winners, knn_winners, buildings)
+    assignments = assignments.persist(StorageLevel.MEMORY_AND_DISK)
+    sets = dec.output_sets(assignments, buildings)
+
+    points = tiling.tile_points(assignments, buildings)
+    tiles = tiling.assign_tiles(points, budget=budget, level=level)
+
+    return MergeResult(
+        addresses=addresses,
+        buildings=buildings,
+        assignments=assignments,
+        sets=sets,
+        tiles=tiles,
+    )
