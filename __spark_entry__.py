@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship merge pipeline (BASELINE.json north_star):
+                deterministic Common-Crawl-style pages fixture →
+                extraction → PIP/kNN spatial join → decisions → tiles.
+queries()     — one entry per implemented operator family
+                (SURVEY.md §2); see plans/queries.py.
+oracle_sql()  — DuckDB-equivalent ANSI SQL for every SQL-expressible
+                entry; spatial/LSH entries are rows-only (exactness for
+                those is covered by pytest goldens vs tests/oracle.py).
 """
 
 from __future__ import annotations
@@ -15,24 +18,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: which building does each address belong to —
+    full merge on the deterministic 1k-page fixture (sf0.001-scale)."""
+    from mergeaddressesandbuildings_spark.plans.merge import run_merge
+    from mergeaddressesandbuildings_spark.sources import pages as pg
+
+    p = pg.pages_df(spark, 1000)
+    e = pg.existing_osm_df(spark, 1000)
+    res = run_merge(spark, p, e)
+    return res.assignments.select(
+        "addr_id", "url", "record_idx", "building_id", "method", "dist_m",
+        "decision", "cell",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mergeaddressesandbuildings_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mergeaddressesandbuildings_spark.plans.queries import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,98 @@
+"""Text-analysis operators for the training-data pipeline surface
+(driver round spec: language-ID, quality scoring, token counting,
+document fingerprinting — each over the ``documents`` table).
+
+Everything here is pure built-in column expressions (whole-stage
+codegen; no Python in the hot path). Counts are emitted as exact
+integers — numerator/denominator pairs instead of ratios — so results
+are bit-identical across engines and partitionings at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# "stopwords" of the synthetic corpus (vocabulary is driver-generated);
+# for real text swap in a language stoplist — the plan shape is identical
+STOPWORDS = ("key", "agg", "row", "scan")
+
+TOKEN_ALPHA = "[a-z]+"
+TOKEN_DIGIT = "[0-9]"
+TOKEN_PUNCT = "[^a-z0-9 ]"
+
+
+def word_stats(docs: DataFrame) -> DataFrame:
+    ws = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.element_at(ws, 1).alias("first_word"),
+        F.element_at(ws, -1).alias("last_word"),
+        F.length("text").cast("long").alias("n_chars_text"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace words + regex token classes (the
+    BPE-ish pre-tokenizer shape: alpha runs / single digits / punct)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_ALPHA), F.lit(0))).cast("long").alias("n_alpha_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_DIGIT), F.lit(0))).cast("long").alias("n_digit_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PUNCT), F.lit(0))).cast("long").alias("n_punct_tokens"),
+    )
+
+
+def quality_counts(docs: DataFrame) -> DataFrame:
+    """Quality scoring inputs as exact integers: total words, stopword
+    hits, char count. Downstream ratio = stopword_count / n_words is the
+    consumer's division (kept out of the engine output for exactness)."""
+    ws = F.split(F.col("text"), " ")
+    stop_hits = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(ws).cast("long").alias("n_words"),
+        stop_hits.cast("long").alias("n_stopwords"),
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct_words"),
+    )
+
+
+def lang_guess(docs: DataFrame) -> DataFrame:
+    """Language-ID heuristic (marker-token n-gram test) as a pure CASE
+    expression. Markers are corpus-appropriate; for natural text this is
+    where a char-trigram table goes (same plan shape: no shuffle)."""
+    guess = (
+        F.when(F.col("text").contains(" the "), F.lit("en"))
+        .when(F.col("text").contains(" el "), F.lit("es"))
+        .when(F.col("text").contains("spark"), F.lit("en"))
+        .otherwise(F.lit("unk"))
+    )
+    return docs.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting: full-content md5 + a locality-stable
+    prefix fingerprint (first 16 words) — catches head-duplicates."""
+    ws = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_md5"),
+        F.md5(F.array_join(F.slice(ws, 1, 16), " ")).alias("prefix_md5"),
+        F.length("text").cast("long").alias("n_chars_text"),
+    )
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash; map-side combinable."""
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

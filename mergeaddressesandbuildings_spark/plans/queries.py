@@ -1,0 +1,605 @@
+"""Driver-contract query registry (SURVEY.md §3.2 E2, M4): one entry
+per operator family from SURVEY.md §2, each with a DuckDB-equivalent
+ANSI-SQL oracle where SQL can express it.
+
+Exactness discipline (the driver hash-compares values): money sums are
+computed in integer cents (BIGINT — associative, order-independent,
+bit-exact across engines and partitionings); timestamps are emitted as
+epoch seconds (BIGINT); doubles appear only where both engines perform
+the identical sequential fold (see similarity.py) or as raw parquet
+values; every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from mergeaddressesandbuildings_spark.operators import (
+    doc_dedupe,
+    similarity,
+    textstats,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_CENTS = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+
+
+# ---------------------------------------------------------------------
+# A: aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)            AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           CAST(COUNT(*) AS BIGINT)                                   AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_CENTS("l_extendedprice")).alias("sum_price_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "priority_conditional_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_totalprice > 100000 THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS big_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def priority_conditional_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("long").alias("n_finished"),
+        F.sum(
+            F.when(F.col("o_totalprice") > 100000, _CENTS("o_totalprice")).otherwise(F.lit(0))
+        ).cast("long").alias("big_cents"),
+    )
+
+
+@register(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "order_year_matrix",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def order_year_matrix(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("order_year"), "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------
+# J: joins (SURVEY §2.3)
+# ---------------------------------------------------------------------
+
+@register(
+    "segment_revenue",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def segment_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "nation_supplier_stats",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def nation_supplier_stats(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(_CENTS("s_acctbal")).alias("acctbal_cents"),
+        )
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "nations_with_big_customers",
+    """
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+    GROUP BY n.n_name
+    """,
+)
+def nations_with_big_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "union_segments",
+    """
+    SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def union_segments(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")
+    b = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_name")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "error_click_pairs",
+    """
+    SELECT e.event_id AS error_id, c.event_id AS click_id,
+           CAST(FLOOR(EPOCH(e.ts)) - FLOOR(EPOCH(c.ts)) AS BIGINT) AS gap_s
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id AND c.event_type = 'click' AND e.event_type = 'error'
+     AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 60 SECOND
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY c.ts DESC, c.event_id) = 1
+    """,
+)
+def error_click_pairs(spark, sf_dir):
+    """kNN-with-cutoff analog on the time axis (J2 shape): for each
+    error, the latest click by the same user within 60 s."""
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id"), F.col("ts").alias("ets")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("cts")
+    )
+    j = errors.join(clicks, "user_id").filter(
+        (F.col("cts") <= F.col("ets"))
+        & (F.col("cts") >= F.col("ets") - F.expr("INTERVAL 60 SECONDS"))
+    )
+    w = Window.partitionBy("error_id").orderBy(F.desc("cts"), F.asc("click_id"))
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "error_id", "click_id",
+            (F.col("ets").cast("timestamp").cast("long") - F.col("cts").cast("timestamp").cast("long")).alias("gap_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# W: windows (SURVEY §2.5) + sorts/top-k (§2.6)
+# ---------------------------------------------------------------------
+
+@register(
+    "top_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+    """,
+)
+def top_order_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", _CENTS("o_totalprice").alias("price_cents"))
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_epoch
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def latest_event_per_user(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type", F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"))
+    )
+
+
+@register(
+    "min_value_event_per_user",
+    """
+    SELECT user_id, event_id AS min_event_id, CAST(ROUND(value*100) AS BIGINT) AS min_value_cents
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) = 1
+    """,
+)
+def min_value_event_per_user(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("min_event_id"),
+            _CENTS("value").alias("min_value_cents"),
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("timestamp").cast("long") - prev.cast("timestamp").cast("long") > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("_ns", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("_ns").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "events_tumbling_hour",
+    """
+    SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hour(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp").cast("long").alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_CENTS("value")).alias("value_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# F: scalar functions (SURVEY §2.8) on documents
+# ---------------------------------------------------------------------
+
+@register(
+    "doc_word_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           string_split(text, ' ')[1]  AS first_word,
+           string_split(text, ' ')[-1] AS last_word,
+           CAST(length(text) AS BIGINT) AS n_chars_text
+    FROM documents
+    """,
+)
+def doc_word_stats(spark, sf_dir):
+    return textstats.word_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit_tokens,
+           CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct_tokens
+    FROM documents
+    """,
+)
+def doc_token_counts(spark, sf_dir):
+    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_quality_counts",
+    """
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> w IN ('key','agg','row','scan'))) AS BIGINT) AS n_stopwords,
+           CAST(length(text) AS BIGINT) AS n_chars_text,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words
+    FROM documents
+    """,
+)
+def doc_quality_counts(spark, sf_dir):
+    return textstats.quality_counts(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_lang_guess",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN text LIKE '% the %' THEN 'en'
+                WHEN text LIKE '% el %' THEN 'es'
+                WHEN text LIKE '%spark%' THEN 'en'
+                ELSE 'unk' END AS lang_guess
+    FROM documents
+    """,
+)
+def doc_lang_guess(spark, sf_dir):
+    return textstats.lang_guess(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS prefix_md5,
+           CAST(length(text) AS BIGINT) AS n_chars_text
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_exact_dedup",
+    """
+    SELECT md5(text) AS content_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def doc_exact_dedup(spark, sf_dir):
+    return textstats.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_ngram_pairs",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 150),
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)
+    )
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    """,
+)
+def doc_ngram_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return doc_dedupe.ngram_jaccard_pairs(docs, n=2, min_common=10)
+
+
+# ---------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------
+
+_ANN_ORACLE = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS q_embedding,
+                      CAST(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE) AS qn
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             CAST(list_sum(list_transform(list_zip(e.embedding, q.q_embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS DOUBLE)
+             / SQRT(CAST(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE) * q.qn) AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, CAST(rnk AS INT) AS rank, round(cosine, 6) AS cosine_r6
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) rnk
+          FROM scored)
+    WHERE rnk <= 3
+"""
+
+
+@register("ann_cosine_topk", _ANN_ORACLE)
+def ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.cosine_topk_bruteforce(emb, qs, k=3)
+
+
+# ---------------------------------------------------------------------
+# rows-only entries (spatial merge + LSH paths; no SQL oracle — DuckDB
+# has no spatial/LSH surface offline; exactness covered by pytest
+# goldens vs tests/oracle.py instead)
+# ---------------------------------------------------------------------
+
+_MERGE_CACHE: dict = {}
+
+
+def _merge_result(spark, n_pages: int = 300):
+    key = (id(spark), n_pages)
+    if key not in _MERGE_CACHE:
+        from mergeaddressesandbuildings_spark.plans.merge import run_merge
+        from mergeaddressesandbuildings_spark.sources import pages as pg
+
+        p = pg.pages_df(spark, n_pages, partitions=8)
+        e = pg.existing_osm_df(spark, n_pages, partitions=8)
+        _MERGE_CACHE[key] = run_merge(spark, p, e)
+    return _MERGE_CACHE[key]
+
+
+@register("merge_assignments")
+def merge_assignments(spark, sf_dir):
+    """Flagship: full merge pipeline on the deterministic pages fixture."""
+    return _merge_result(spark).assignments.select(
+        "addr_id", "url", "record_idx", "building_id", "method", "decision", "cell"
+    )
+
+
+@register("merge_output_sets")
+def merge_output_sets(spark, sf_dir):
+    return _merge_result(spark).sets
+
+
+@register("merge_tiles")
+def merge_tiles(spark, sf_dir):
+    t = _merge_result(spark).tiles
+    return t.groupBy("tile").agg(
+        F.count("*").alias("n_elements"),
+        F.sum(F.when(F.col("elem_kind") == "address", 1).otherwise(0)).alias("n_addresses"),
+    )
+
+
+@register("text_sha_parity")
+def text_sha_parity(spark, sf_dir):
+    """Byte-parity surface: url → sha256 of §8.2-extracted text."""
+    from mergeaddressesandbuildings_spark.operators.extract import latest_capture
+    from mergeaddressesandbuildings_spark.sources import pages as pg
+
+    p = latest_capture(pg.pages_df(spark, 200, partitions=4))
+    return p.select("url", F.sha2(F.col("text"), 256).alias("text_sha256"))
+
+
+@register("minhash_lsh_pairs")
+def minhash_lsh_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    out = doc_dedupe.minhash_lsh_dedupe(docs, n=2, threshold=0.5)
+    return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+
+
+@register("simhash_near_pairs")
+def simhash_near_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return doc_dedupe.simhash_near_pairs(docs, max_hamming=3)
+
+
+@register("ann_cosine_lsh")
+def ann_cosine_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.cosine_topk_lsh(emb, qs, k=3)
