@@ -1,0 +1,100 @@
+"""spark-submit entry point for the full merge pipeline (SURVEY.md §3.2
+E3; BASELINE.json:14 "run via spark-submit --py-files ... at two cluster
+sizes").
+
+    spark-submit --master local[8] --py-files engine.zip jobs/merge.py \
+        --pages-count 20000 --out /tmp/merge_out
+
+Prints one JSON line with wall time, input rows, assignment rows,
+rows/sec, tile count, and the order-independent output fingerprint
+(bit_xor of xxhash64 over assignment keys) — the fingerprint is what
+the two-parallelism scaling protocol compares for run validity
+(BASELINE.md: "a run with divergent output is invalid regardless of
+speed").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages-count", type=int, default=20_000)
+    ap.add_argument("--pages-path", default=None, help="read pages parquet instead of generating")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--level", type=int, default=None)
+    ap.add_argument("--budget", type=int, default=None)
+    ap.add_argument("--no-existing", action="store_true")
+    ap.add_argument("--n-batches", type=int, default=4)
+    ap.add_argument("--skip-write", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from mergeaddressesandbuildings_spark import config
+    from mergeaddressesandbuildings_spark.plans.merge import run_merge
+    from mergeaddressesandbuildings_spark.session import get_spark
+    from mergeaddressesandbuildings_spark.sources import pages as pg, sink
+
+    spark = get_spark(master=args.master, app_name="merge-job")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.monotonic()
+    if args.pages_path:
+        pages = spark.read.parquet(args.pages_path)
+    else:
+        pages = pg.pages_df(spark, args.pages_count)
+    existing = None if args.no_existing else pg.existing_osm_df(
+        spark, args.pages_count if not args.pages_path else 0
+    )
+
+    res = run_merge(
+        spark, pages, existing,
+        level=args.level or config.CELL_LEVEL,
+        budget=args.budget or config.TILE_MAX_ELEMS,
+    )
+
+    tiles = res.tiles.select("elem_id", "tile")
+    assignments = res.assignments.join(tiles, res.assignments["addr_id"] == tiles["elem_id"]) \
+                                 .drop("elem_id")
+
+    n_pages = pages.count()
+    fingerprint = assignments.agg(
+        F.expr("bit_xor(xxhash64(addr_id, coalesce(building_id, -1), method, decision, tile))")
+    ).collect()[0][0]
+    n_assign = assignments.count()
+    n_tiles = assignments.select("tile").distinct().count()
+
+    write_stats = None
+    if not args.skip_write:
+        write_stats = sink.write_tiles(
+            assignments, args.out,
+            key_cols=["addr_id", "method", "decision"],
+            n_batches=args.n_batches,
+        )
+
+    wall = time.monotonic() - t0
+    print(json.dumps({
+        "job": "merge",
+        "master": args.master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}]",
+        "n_pages": n_pages,
+        "n_assignments": n_assign,
+        "n_tiles": n_tiles,
+        "fingerprint": int(fingerprint),
+        "wall_s": round(wall, 2),
+        "pages_per_sec": round(n_pages / wall, 1),
+        "write": write_stats,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Morton cell encode/decode/neighbors as PURE COLUMN EXPRESSIONS
+(SURVEY.md §2.7 T1/T3 — JVM-side variant).
+
+The numpy kernels in cells.py are the right tool inside Arrow batches
+(extraction already lives in Python), but for relational stages —
+tiling, kNN neighbor expansion — a pandas_udf costs a Python round trip
+per task. The bit-interleave is just shifts and masks, so here it is as
+builtin expressions: stays inside whole-stage codegen, zero Python.
+
+Bit-identical to cells.py (asserted in tests/test_cells_sql.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from mergeaddressesandbuildings_spark import config
+
+_M1 = 0x5555555555555555
+_M2 = 0x3333333333333333
+_M3 = 0x0F0F0F0F0F0F0F0F
+_M4 = 0x00FF00FF00FF00FF
+_M5 = 0x0000FFFF0000FFFF
+_M32 = 0xFFFFFFFF
+
+
+def _spread(v: Column) -> Column:
+    """Spread low 32 bits to even positions (part1by1)."""
+    v = v.bitwiseAND(F.lit(_M32))
+    v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(F.lit(_M5))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(_M4))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(_M3))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(_M2))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(_M1))
+    return v
+
+
+def _compact(v: Column) -> Column:
+    """Gather even bit positions into the low 32 (inverse of _spread)."""
+    v = v.bitwiseAND(F.lit(_M1))
+    v = (v.bitwiseOR(F.shiftright(v, 1))).bitwiseAND(F.lit(_M2))
+    v = (v.bitwiseOR(F.shiftright(v, 2))).bitwiseAND(F.lit(_M3))
+    v = (v.bitwiseOR(F.shiftright(v, 4))).bitwiseAND(F.lit(_M4))
+    v = (v.bitwiseOR(F.shiftright(v, 8))).bitwiseAND(F.lit(_M5))
+    v = (v.bitwiseOR(F.shiftright(v, 16))).bitwiseAND(F.lit(_M32))
+    return v
+
+
+def _clip(v: Column, lo: Column, hi: Column) -> Column:
+    return F.least(F.greatest(v, lo), hi)
+
+
+def xy_expr(lat: Column, lon: Column, level) -> tuple[Column, Column]:
+    """Integer cell coords. ``level`` may be a python int or an int
+    Column (per-row level — exact via pow up to level 26)."""
+    n = F.pow(F.lit(2.0), level).cast("long") if isinstance(level, Column) else F.lit(1 << level)
+    x = F.floor((lon + 180.0) / 360.0 * n).cast("long")
+    y = F.floor((lat + 90.0) / 180.0 * n).cast("long")
+    zero = F.lit(0).cast("long")
+    return _clip(x, zero, n - 1), _clip(y, zero, n - 1)
+
+
+def cell_expr(lat: Column, lon: Column, level=config.CELL_LEVEL) -> Column:
+    """Point → prefix-coded Morton cell id; identical to cells.encode."""
+    x, y = xy_expr(lat, lon, level)
+    prefix = (
+        F.pow(F.lit(4.0), level).cast("long")
+        if isinstance(level, Column)
+        else F.lit(1 << (2 * level))
+    )
+    return prefix.bitwiseOR(_spread(x)).bitwiseOR(F.shiftleft(_spread(y), 1))
+
+
+def neighbors_expr(cell: Column, level: int = config.CELL_LEVEL) -> Column:
+    """array<long> of the 3×3 Morton neighborhood (lon wraps, lat
+    clips) — identical to cells.neighbors. Fixed python-int level."""
+    n = F.lit(1 << level)
+    prefix = F.lit(1 << (2 * level))
+    body = cell.bitwiseXOR(prefix)
+    x = _compact(body)
+    y = _compact(F.shiftright(body, 1))
+    out = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            nx = F.pmod(x + dx, n)
+            ny = _clip(y + dy, F.lit(0).cast("long"), (n - 1).cast("long"))
+            out.append(prefix.bitwiseOR(_spread(nx)).bitwiseOR(F.shiftleft(_spread(ny), 1)))
+    return F.array(*out)

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 from mergeaddressesandbuildings_spark import config
-from mergeaddressesandbuildings_spark.functions import cells, geom
+from mergeaddressesandbuildings_spark.functions import cells, cells_sql, geom
 
 CAND_SCHEMA = T.StructType(
     [
@@ -196,13 +196,20 @@ def _broadcast_refine(addresses: DataFrame, buildings_pdf: pd.DataFrame,
         for adf in batches:
             if adf.empty:
                 continue
-            wanted: set[int] = set()
-            for c in adf["cell"].unique():
-                wanted.update(cell_index.get(int(c), ()))
-            bdf = buildings_pdf.iloc[sorted(wanted)] if by_cell else buildings_pdf
-            out = kernel(adf, bdf)
-            if not out.empty:
-                yield out
+            if not by_cell:
+                out = kernel(adf, buildings_pdf)
+                if not out.empty:
+                    yield out
+                continue
+            # per-cell sub-batches: the candidate matrix is then
+            # |cell points| × |cell buildings|, never batch × corpus
+            for c, grp in adf.groupby("cell", sort=False):
+                rows = cell_index.get(int(c))
+                if not rows:
+                    continue
+                out = kernel(grp, buildings_pdf.iloc[rows])
+                if not out.empty:
+                    yield out
 
     return addresses.select("cell", *_ADDR_KERNEL_COLS).mapInPandas(run, schema=CAND_SCHEMA)
 
@@ -227,12 +234,15 @@ def knn_candidates(addresses: DataFrame, buildings: DataFrame,
         "kNN cutoff exceeds one cell width — neighbor expansion incomplete (§8.5)"
     )
 
+    # candidate expansion (T3): 3×3 Morton neighborhood. An all-expression
+    # explode(neighbors_expr) inlines the 60-op bit-spread chain into all
+    # 9 generator elements and overflows janino's method-size limit, so
+    # the expansion stays a (tiny) Arrow kernel over the unmatched set.
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if b.empty:
                 continue
             nb = cells.neighbors(b["cell"].to_numpy(dtype=np.int64))  # (n, 9)
-            n = len(b)
             rep = b.loc[b.index.repeat(9)].reset_index(drop=True)
             rep["cell"] = nb.reshape(-1)
             yield rep
@@ -259,9 +269,11 @@ def knn_candidates(addresses: DataFrame, buildings: DataFrame,
             .cogroup(b.groupBy("cell", "salt"))
             .applyInPandas(run, schema=CAND_SCHEMA)
         )
-    # an (addr, building) pair can surface via several neighbor cells —
-    # identical dist, so dropDuplicates on the pair is exact
-    return raw.dropDuplicates(["addr_id", "building_id"])
+    # an (addr, building) pair can surface via several neighbor cells
+    # with identical dist — harmless for the top-1 window (row_number
+    # picks exactly one of the identical rows), so no dedup shuffle here;
+    # callers needing distinct pairs dedupe themselves
+    return raw
 
 
 def pick_pip_winner(cands: DataFrame) -> DataFrame:

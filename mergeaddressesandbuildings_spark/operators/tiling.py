@@ -7,58 +7,42 @@ CELL_LEVEL, any tile whose element count exceeds the budget splits into
 its 4 Morton children (prefix-coded ids make child = 4*parent+q);
 iterate until no tile exceeds the budget or MAX_CELL_LEVEL.
 
-Scale notes: each round is one hash aggregate (count per tile) of which
-only the OVER-BUDGET tile ids are collected (≤ total/budget entries —
-bounded and tiny); the re-encode of affected rows is a numpy
-pandas_udf over only those rows. Convergence ≤ MAX_CELL_LEVEL −
-CELL_LEVEL rounds; in practice 1–2 (only hot urban cells split).
+Scale notes:
+- the encode is a pure column expression (cells_sql) — whole-stage
+  codegen, no Python round trip per iteration;
+- each round is one hash aggregate (count per tile) of which only the
+  OVER-BUDGET tile ids are collected (≤ total/budget entries — bounded
+  and tiny); convergence ≤ MAX_CELL_LEVEL − CELL_LEVEL rounds, 1–2 in
+  practice (only hot urban cells split);
+- deterministic: the split set is a pure function of global counts, so
+  the result is parallelism-invariant (SURVEY.md §5.2-5).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql import types as T
 
 from mergeaddressesandbuildings_spark import config
-from mergeaddressesandbuildings_spark.functions import cells
-
-
-def _encode_udf():
-    @F.pandas_udf(T.LongType())
-    def enc(lat: pd.Series, lon: pd.Series, level: pd.Series) -> pd.Series:
-        return pd.Series(
-            cells.encode_at_levels(
-                lat.to_numpy(np.float64), lon.to_numpy(np.float64),
-                level.to_numpy(np.int64),
-            )
-        )
-
-    return enc
+from mergeaddressesandbuildings_spark.functions import cells, cells_sql
 
 
 def assign_tiles(points: DataFrame,
                  budget: int = config.TILE_MAX_ELEMS,
                  level: int = config.CELL_LEVEL,
                  max_level: int = config.MAX_CELL_LEVEL) -> DataFrame:
-    """points(elem_id, lat, lon, ...) → same + ``tile`` column.
-
-    Deterministic: the split set is a pure function of global counts, so
-    the result is parallelism-invariant (SURVEY.md §5.2-5).
-    """
-    enc = _encode_udf()
+    """points(elem_id, lat, lon, ...) → same + ``tile`` column."""
     df = points.withColumn("_lvl", F.lit(level)).withColumn(
-        "tile", enc(F.col("lat"), F.col("lon"), F.col("_lvl"))
+        "tile", cells_sql.cell_expr(F.col("lat"), F.col("lon"), level)
     )
     for lvl in range(level, max_level):
         over = [
             r["tile"]
             for r in df.groupBy("tile").count().filter(F.col("count") > budget).collect()
         ]
-        if not over:
-            break
-        over_at_lvl = [t for t in over if int(cells.level_of(np.array([t]))[0]) == lvl]
+        over_at_lvl = [
+            t for t in over if int(cells.level_of(np.array([t]))[0]) == lvl
+        ]
         if not over_at_lvl:
             break
         hot = F.col("tile").isin(over_at_lvl)
@@ -66,7 +50,10 @@ def assign_tiles(points: DataFrame,
             "_lvl", F.when(hot, F.col("_lvl") + 1).otherwise(F.col("_lvl"))
         ).withColumn(
             "tile",
-            F.when(hot, enc(F.col("lat"), F.col("lon"), F.col("_lvl"))).otherwise(F.col("tile")),
+            F.when(
+                hot,
+                cells_sql.cell_expr(F.col("lat"), F.col("lon"), F.col("_lvl")),
+            ).otherwise(F.col("tile")),
         )
     return df.drop("_lvl")
 
