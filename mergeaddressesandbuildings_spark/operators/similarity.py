@@ -80,6 +80,134 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
     return embeddings.withColumn("bucket", bucket(F.col("embedding")))
 
 
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a < b, cosine ≥ t).
+
+    O(n²) baseline — correct at any n, feasible only on a capped subset;
+    the LSH variant below is the 100 TB path. Norms are precomputed once
+    per side (cheap vs recomputing inside the pair filter).
+    """
+    lhs = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        _norm2(F.col("embedding")).alias("_na"),
+    )
+    rhs = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        _norm2(F.col("embedding")).alias("_nb"),
+    )
+    pairs = lhs.join(rhs, F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a", "vec_b",
+            (_dot(F.col("emb_a"), F.col("emb_b"))
+             / F.sqrt(F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r6"))
+    )
+
+
+def cosine_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.95,
+                        n_planes: int = 8, dim: int = 64,
+                        n_tables: int = 4) -> DataFrame:
+    """Scale path: near-dup pairs via multi-table hyperplane LSH.
+
+    Each of ``n_tables`` independent plane sets buckets every vector;
+    candidate pairs = same (table, bucket) — an equi-join whose shuffle
+    moves each vector n_tables times, vs n² for brute force. Exact
+    cosine refine + distinct de-dups pairs found by multiple tables.
+    High-cosine pairs collide with prob (1 − θ/π)^planes per table;
+    multiple tables recover the recall the per-table AND-construction
+    costs.
+    """
+    tabbed = None
+    for t in range(n_tables):
+        b = hyperplane_buckets(embeddings, n_planes, dim, seed=7 + 13 * t) \
+            .withColumn("table", F.lit(t))
+        tabbed = b if tabbed is None else tabbed.unionByName(b)
+    lhs = tabbed.select(
+        "table", "bucket", F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    rhs = tabbed.select(
+        "table", "bucket", F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cands = (
+        lhs.join(rhs, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cands.select(
+            "vec_a", "vec_b",
+            (_dot(F.col("emb_a"), F.col("emb_b"))
+             / F.sqrt(_norm2(F.col("emb_a")) * _norm2(F.col("emb_b")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r6"))
+    )
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64,
+               seed: int = 11) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: assign each vector to its nearest of
+    ``n_centroids`` fixed random-direction centroids (deterministic —
+    no training loop; a k-means refinement would slot in here without
+    changing the plan shape). One matmul per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def nearest(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        sims = (m / nrm) @ cents.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return embeddings.withColumn("ivf_list", nearest(F.col("embedding"))), cents
+
+
+def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+                    n_centroids: int = 16, n_probe: int = 4,
+                    dim: int = 64) -> DataFrame:
+    """Approximate top-k via IVF: score only vectors whose inverted list
+    is among the query's ``n_probe`` closest centroids. The big side is
+    hash-partitioned by list id; each query probes n_probe/n_centroids
+    of the data — the standard recall/cost dial."""
+    e_l, cents = ivf_assign(embeddings, n_centroids, dim)
+
+    def probes(qe) -> list[int]:
+        v = np.asarray(qe, dtype=np.float64)
+        n = np.linalg.norm(v) or 1.0
+        sims = (v / n) @ cents.T
+        return [int(i) for i in np.argsort(-sims)[:n_probe]]
+
+    q_pdf = queries.select("qid", "q_embedding").toPandas()
+    q_pdf["ivf_list"] = q_pdf["q_embedding"].map(probes)
+    q = F.broadcast(
+        queries.sparkSession.createDataFrame(q_pdf)
+        .select("qid", "q_embedding", F.explode("ivf_list").alias("ivf_list"))
+    )
+    joined = e_l.join(q, "ivf_list").filter(F.col("vec_id") != F.col("qid"))
+    scored = joined.select(
+        "qid", "vec_id",
+        (
+            _dot(F.col("embedding"), F.col("q_embedding"))
+            / F.sqrt(_norm2(F.col("embedding")) * _norm2(F.col("q_embedding")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", F.round("cosine", 6).alias("cosine_r6"))
+    )
+
+
 def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                     n_planes: int = 6, dim: int = 64) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH

@@ -603,3 +603,135 @@ def ann_cosine_lsh(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
     )
     return similarity.cosine_topk_lsh(emb, qs, k=3)
+
+
+@register(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, embedding,
+                      CAST(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE) AS n2
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS DOUBLE)
+                 / SQRT(a.n2 * b.n2), 6) AS cosine_r6
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS DOUBLE)
+          / SQRT(a.n2 * b.n2) >= 0.40
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """Exact embedding-cosine near-duplicate pairs (O(n²) baseline)."""
+    return similarity.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.40)
+
+
+@register("embedding_near_dup_lsh")
+def embedding_near_dup_lsh(spark, sf_dir):
+    """Scale path: multi-table hyperplane-LSH near-dup (rows-only — the
+    LSH candidate set is engine-specific; recall vs exact is asserted in
+    tests/test_similarity_extra.py)."""
+    return similarity.cosine_near_dup_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.40,
+        n_planes=6, n_tables=6)
+
+
+@register("ann_cosine_ivf")
+def ann_cosine_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.cosine_topk_ivf(emb, qs, k=3, n_centroids=16, n_probe=6)
+
+
+# ---------------------------------------------------------------------
+# multimodal binary columns (driver round spec; rows-only — payloads are
+# synthesized Spark-side, no DuckDB surface; determinism covered by
+# tests/test_multimodal.py)
+# ---------------------------------------------------------------------
+
+@register("media_decode_meta")
+def media_decode_meta(spark, sf_dir):
+    from mergeaddressesandbuildings_spark.operators import multimodal as mm
+
+    return mm.decode_meta(mm.media_df(spark, 300, partitions=8))
+
+
+@register("media_features")
+def media_features(spark, sf_dir):
+    from mergeaddressesandbuildings_spark.operators import multimodal as mm
+
+    f = mm.extract_features(mm.media_df(spark, 300, partitions=8), dim=16)
+    return f.select("media_id", "kind",
+                    F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0_r6"),
+                    F.size("feature").alias("dim"))
+
+
+@register("media_frame_sample")
+def media_frame_sample(spark, sf_dir):
+    from mergeaddressesandbuildings_spark.operators import multimodal as mm
+
+    fr = mm.sample_frames(mm.media_df(spark, 300, partitions=8), every_n=2)
+    return fr.select("media_id", "frame_idx", "width", "height",
+                     F.length("frame").alias("frame_bytes"))
+
+
+# ---------------------------------------------------------------------
+# streaming (SURVEY §2.10) — a real Structured-Streaming run
+# (availableNow) over the events parquet, oracle-paired: with
+# watermark=0s, append mode emits exactly the hours whose window end is
+# ≤ the global max ts, which the SQL reproduces.
+# ---------------------------------------------------------------------
+
+_STREAM_SEQ = [0]
+
+
+@register(
+    "events_stream_tumbling",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events, mx
+    GROUP BY 1, 2, mx.m
+    HAVING hour_epoch + 3600 <= CAST(EPOCH(mx.m) AS BIGINT)
+    """,
+)
+def events_stream_tumbling(spark, sf_dir):
+    """Tumbling-hour counts computed by an actual streaming query
+    (file source → watermark → window agg → memory sink, availableNow)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    # file-stream source needs a directory — symlink the single parquet
+    # file into a temp dir (no data copy)
+    import os
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("long").alias("hour_epoch"), "event_type", "n")
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"events_stream_tumbling_{_STREAM_SEQ[0]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,66 @@
+"""Near-dup + IVF similarity tests (driver round spec: embedding-cosine
+near-dup; IVF/LSH scale paths)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _emb_df(spark, n=80, dim=64, n_dups=12, seed=3):
+    """n base vectors + n_dups slightly-perturbed copies (cos ≥ ~0.99)."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    rows = [{"vec_id": i, "embedding": base[i].astype(np.float32).tolist()}
+            for i in range(n)]
+    for j in range(n_dups):
+        v = base[j] + 0.02 * rng.standard_normal(dim)
+        rows.append({"vec_id": n + j, "embedding": v.astype(np.float32).tolist()})
+    return spark.createDataFrame(pd.DataFrame(rows)), n, n_dups
+
+
+def test_near_dup_exact_finds_planted_pairs(spark):
+    from mergeaddressesandbuildings_spark.operators import similarity as sim
+
+    emb, n, n_dups = _emb_df(spark)
+    pairs = sim.cosine_near_dup_pairs(emb, threshold=0.95).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    planted = {(j, n + j) for j in range(n_dups)}
+    assert planted <= got
+    # random 64-dim vectors essentially never reach cosine 0.95
+    assert got == planted
+
+
+def test_near_dup_lsh_recall(spark):
+    from mergeaddressesandbuildings_spark.operators import similarity as sim
+
+    emb, n, n_dups = _emb_df(spark)
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in sim.cosine_near_dup_pairs(emb, threshold=0.95).collect()}
+    approx = {(r["vec_a"], r["vec_b"])
+              for r in sim.cosine_near_dup_lsh(
+                  emb, threshold=0.95, n_planes=8, n_tables=4).collect()}
+    # no false positives (exact refine) and high recall at cos≥0.95
+    assert approx <= exact
+    assert len(approx) >= 0.9 * len(exact) > 0
+
+
+def test_ivf_topk_matches_bruteforce_top1(spark):
+    from mergeaddressesandbuildings_spark.operators import similarity as sim
+
+    emb, n, n_dups = _emb_df(spark)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding"))
+    bf = sim.cosine_topk_bruteforce(emb, qs, k=1).collect()
+    # probe every list → IVF must equal brute force exactly
+    ivf = sim.cosine_topk_ivf(emb, qs, k=1, n_centroids=8, n_probe=8).collect()
+    assert {(r["qid"], r["vec_id"]) for r in bf} == \
+           {(r["qid"], r["vec_id"]) for r in ivf}
+    # partial probing still finds the planted duplicate (it shares the
+    # query's list with overwhelming probability)
+    ivf2 = {r["qid"]: r["vec_id"]
+            for r in sim.cosine_topk_ivf(emb, qs, k=1, n_centroids=8,
+                                         n_probe=2).collect()}
+    hits = sum(1 for qid, vid in ivf2.items() if vid == n + qid)
+    assert hits >= 4  # 5 queries, allow one list-boundary miss
