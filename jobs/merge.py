@@ -28,6 +28,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages-count", type=int, default=20_000)
     ap.add_argument("--pages-path", default=None, help="read pages parquet instead of generating")
+    ap.add_argument("--existing-path", default=None, help="read existing-OSM parquet instead of generating")
     ap.add_argument("--out", required=True)
     ap.add_argument("--master", default=None)
     ap.add_argument("--level", type=int, default=None)
@@ -52,9 +53,12 @@ def main() -> None:
         pages = spark.read.parquet(args.pages_path)
     else:
         pages = pg.pages_df(spark, args.pages_count)
-    existing = None if args.no_existing else pg.existing_osm_df(
-        spark, args.pages_count if not args.pages_path else 0
-    )
+    if args.no_existing:
+        existing = None
+    elif args.existing_path:
+        existing = spark.read.parquet(args.existing_path)
+    else:
+        existing = pg.existing_osm_df(spark, args.pages_count)
 
     res = run_merge(
         spark, pages, existing,
@@ -62,16 +66,23 @@ def main() -> None:
         budget=args.budget or config.TILE_MAX_ELEMS,
     )
 
+    from pyspark import StorageLevel
+
     tiles = res.tiles.select("elem_id", "tile")
     assignments = res.assignments.join(tiles, res.assignments["addr_id"] == tiles["elem_id"]) \
-                                 .drop("elem_id")
+                                 .drop("elem_id") \
+                                 .persist(StorageLevel.MEMORY_AND_DISK)
 
     n_pages = pages.count()
-    fingerprint = assignments.agg(
-        F.expr("bit_xor(xxhash64(addr_id, coalesce(building_id, -1), method, decision, tile))")
-    ).collect()[0][0]
-    n_assign = assignments.count()
-    n_tiles = assignments.select("tile").distinct().count()
+    # one action for fingerprint + row count + tile count (the
+    # fingerprint is order-independent, so parallelism-invariance across
+    # the N vs 4N scaling runs is checkable from this line alone)
+    frow = assignments.agg(
+        F.expr("bit_xor(xxhash64(addr_id, coalesce(building_id, -1), method, decision, tile))").alias("fp"),
+        F.count("*").alias("n"),
+        F.countDistinct("tile").alias("nt"),
+    ).collect()[0]
+    fingerprint, n_assign, n_tiles = frow["fp"], int(frow["n"]), int(frow["nt"])
 
     write_stats = None
     if not args.skip_write:

@@ -71,6 +71,31 @@ def cell_expr(lat: Column, lon: Column, level=config.CELL_LEVEL) -> Column:
     return prefix.bitwiseOR(_spread(x)).bitwiseOR(F.shiftleft(_spread(y), 1))
 
 
+def bbox_cover_cells_expr(min_lat: Column, min_lon: Column,
+                          max_lat: Column, max_lon: Column,
+                          level: int) -> Column:
+    """array<long> of ALL level-``level`` cells intersecting the bbox —
+    pure column expressions (``sequence`` over the x/y integer ranges,
+    cross product via nested ``transform``, then the same spread/encode
+    as cell_expr). Used as the candidate join key for J3 building
+    dedupe: two overlapping rings always share a bbox-cover cell, and at
+    building sizes the cover is 1–4 cells."""
+    xlo, ylo = xy_expr(min_lat, min_lon, level)
+    xhi, yhi = xy_expr(max_lat, max_lon, level)
+    prefix = F.lit(1 << (2 * level))
+    return F.flatten(
+        F.transform(
+            F.sequence(xlo, xhi),
+            lambda x: F.transform(
+                F.sequence(ylo, yhi),
+                lambda y: prefix.bitwiseOR(_spread(x)).bitwiseOR(
+                    F.shiftleft(_spread(y), 1)
+                ),
+            ),
+        )
+    )
+
+
 def neighbors_expr(cell: Column, level: int = config.CELL_LEVEL) -> Column:
     """array<long> of the 3×3 Morton neighborhood (lon wraps, lat
     clips) — identical to cells.neighbors. Fixed python-int level."""

@@ -102,6 +102,109 @@ def point_to_ring_dist_m(
     return np.sqrt((cx * cx + cy * cy).min(axis=1))
 
 
+def flatten_rings(ring_lats, ring_lons) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ragged ring set → (flat_lat, flat_lon, offsets). Ring j's closed
+    vertex run is ``flat[offsets[j]:offsets[j+1]]``. This is the layout
+    the pair kernels below consume — it removes every per-ring Python
+    loop from the hot path (SURVEY.md §7 M0 "edge-list flattening")."""
+    m = len(ring_lats)
+    lens = np.fromiter((len(r) for r in ring_lats), dtype=np.int64, count=m)
+    offsets = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if m == 0:
+        return np.empty(0), np.empty(0), offsets
+    flat_lat = np.concatenate([np.asarray(r, dtype=np.float64) for r in ring_lats])
+    flat_lon = np.concatenate([np.asarray(r, dtype=np.float64) for r in ring_lons])
+    return flat_lat, flat_lon, offsets
+
+
+def _pair_edge_expand(pair_ring: np.ndarray, offsets: np.ndarray):
+    """Expand (pair → ring) into per-(pair, edge) flat index arrays.
+
+    Returns (pair_idx, edge_i, seg_starts): ``edge_i[k]`` is the flat
+    vertex index of edge k's first endpoint, ``pair_idx[k]`` the pair it
+    belongs to; ``seg_starts`` are the reduceat segment boundaries (one
+    contiguous run per pair, in pair order)."""
+    n_edges = offsets[pair_ring + 1] - offsets[pair_ring] - 1
+    total = int(n_edges.sum())
+    pair_idx = np.repeat(np.arange(len(pair_ring), dtype=np.int64), n_edges)
+    seg_starts = np.zeros(len(pair_ring), dtype=np.int64)
+    np.cumsum(n_edges[:-1], out=seg_starts[1:])
+    local = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, n_edges)
+    edge_i = np.repeat(offsets[pair_ring], n_edges) + local
+    return pair_idx, edge_i, seg_starts
+
+
+def pairs_points_in_rings(
+    plat: np.ndarray, plon: np.ndarray,
+    pair_pt: np.ndarray, pair_ring: np.ndarray,
+    flat_lat: np.ndarray, flat_lon: np.ndarray, offsets: np.ndarray,
+) -> np.ndarray:
+    """PIP for candidate pairs: is point ``pair_pt[p]`` inside ring
+    ``pair_ring[p]``? Bit-identical arithmetic to :func:`points_in_ring`
+    but vectorized over ALL pairs and ragged rings in one pass —
+    no Python loop over buildings."""
+    if len(pair_pt) == 0:
+        return np.zeros(0, dtype=bool)
+    pair_idx, ei, _ = _pair_edge_expand(pair_ring, offsets)
+    px = np.asarray(plon, dtype=np.float64)[pair_pt][pair_idx]
+    py = np.asarray(plat, dtype=np.float64)[pair_pt][pair_idx]
+    x1, y1 = flat_lon[ei], flat_lat[ei]
+    x2, y2 = flat_lon[ei + 1], flat_lat[ei + 1]
+
+    straddles = ((x1 <= px) & (x2 > px)) | ((x2 <= px) & (x1 > px))
+    dx = np.where(x2 - x1 == 0.0, 1.0, x2 - x1)
+    t = (px - x1) / dx
+    y_int = y1 + t * (y2 - y1)
+    crossing = straddles & (y_int > py)
+    ncross = np.bincount(pair_idx, weights=crossing, minlength=len(pair_pt))
+    inside = (ncross.astype(np.int64) % 2) == 1
+
+    cross = (px - x1) * (y2 - y1) - (py - y1) * (x2 - x1)
+    in_box = (
+        (px >= np.minimum(x1, x2) - _EDGE_EPS)
+        & (px <= np.maximum(x1, x2) + _EDGE_EPS)
+        & (py >= np.minimum(y1, y2) - _EDGE_EPS)
+        & (py <= np.maximum(y1, y2) + _EDGE_EPS)
+    )
+    on_edge = (np.abs(cross) <= _EDGE_EPS) & in_box
+    on_any = np.bincount(pair_idx, weights=on_edge, minlength=len(pair_pt)) > 0
+    return inside | on_any
+
+
+def pairs_point_to_ring_dist_m(
+    plat: np.ndarray, plon: np.ndarray,
+    pair_pt: np.ndarray, pair_ring: np.ndarray,
+    flat_lat: np.ndarray, flat_lon: np.ndarray, offsets: np.ndarray,
+) -> np.ndarray:
+    """Min point→ring-edge distance (meters) per candidate pair; same
+    equirectangular formulae as :func:`point_to_ring_dist_m`, vectorized
+    over all pairs at once (min via ``minimum.reduceat`` on the
+    contiguous per-pair edge runs)."""
+    if len(pair_pt) == 0:
+        return np.zeros(0, dtype=np.float64)
+    pair_idx, ei, seg_starts = _pair_edge_expand(pair_ring, offsets)
+    px = np.asarray(plon, dtype=np.float64)[pair_pt][pair_idx]
+    py = np.asarray(plat, dtype=np.float64)[pair_pt][pair_idx]
+    kx = config.DEG_TO_M * np.cos(np.radians(py))
+    ky = config.DEG_TO_M
+    ax = (flat_lon[ei] - px) * kx
+    ay = (flat_lat[ei] - py) * ky
+    bx = (flat_lon[ei + 1] - px) * kx
+    by = (flat_lat[ei + 1] - py) * ky
+    dx, dy = bx - ax, by - ay
+    seg_len2 = dx * dx + dy * dy
+    t = np.clip(
+        np.where(seg_len2 > 0.0, -(ax * dx + ay * dy) / np.where(seg_len2 == 0.0, 1.0, seg_len2), 0.0),
+        0.0,
+        1.0,
+    )
+    cx = ax + t * dx
+    cy = ay + t * dy
+    d2 = cx * cx + cy * cy
+    return np.sqrt(np.minimum.reduceat(d2, seg_starts))
+
+
 def ring_bbox(ring_lat: np.ndarray, ring_lon: np.ndarray) -> tuple[float, float, float, float]:
     """(min_lat, min_lon, max_lat, max_lon) of one ring (F3)."""
     return (

@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from mergeaddressesandbuildings_spark import config
-from mergeaddressesandbuildings_spark.functions import geom
+from mergeaddressesandbuildings_spark.functions import cells_sql, geom
 
 
 def street_norm_col(c: F.Column) -> F.Column:
@@ -68,45 +68,79 @@ def dedupe_addresses(addresses: DataFrame, existing_nodes: DataFrame,
     return a.join(hits, "addr_id", "left_anti").drop("_st", "_hn")
 
 
-def overlap_hits_kernel(ndf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
-    """New-building ids overlapping any existing way within a cell group."""
-    if ndf.empty or edf.empty:
-        return pd.DataFrame({"building_id": pd.Series([], dtype=np.int64)})
-    hit_ids = []
-    e_min_lat = edf["min_lat"].to_numpy(); e_max_lat = edf["max_lat"].to_numpy()
-    e_min_lon = edf["min_lon"].to_numpy(); e_max_lon = edf["max_lon"].to_numpy()
-    for i in range(len(ndf)):
-        bbox_hit = np.flatnonzero(
-            (ndf["min_lat"].iat[i] <= e_max_lat) & (ndf["max_lat"].iat[i] >= e_min_lat)
-            & (ndf["min_lon"].iat[i] <= e_max_lon) & (ndf["max_lon"].iat[i] >= e_min_lon)
-        )
-        n_lat = np.asarray(ndf["ring_lats"].iat[i], dtype=np.float64)
-        n_lon = np.asarray(ndf["ring_lons"].iat[i], dtype=np.float64)
-        for j in bbox_hit:
+def _overlap_pairs_kernel(batches):
+    """Exact ring-overlap refine over candidate pairs. Candidates arrive
+    already bbox-filtered and fine-cell co-located (JVM side), so the
+    per-pair loop here touches only genuine near-overlaps — the heavy
+    O(new × existing) candidate generation never reaches Python."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        hits: set[int] = set()
+        for row in pdf.itertuples(index=False):
+            bid = int(row.building_id)
+            if bid in hits:
+                continue
             if geom.rings_overlap(
-                n_lat, n_lon,
-                np.asarray(edf["ring_lats"].iat[j], dtype=np.float64),
-                np.asarray(edf["ring_lons"].iat[j], dtype=np.float64),
+                np.asarray(row.ring_lats, dtype=np.float64),
+                np.asarray(row.ring_lons, dtype=np.float64),
+                np.asarray(row.e_ring_lats, dtype=np.float64),
+                np.asarray(row.e_ring_lons, dtype=np.float64),
             ):
-                hit_ids.append(ndf["building_id"].iat[i])
-                break
-    return pd.DataFrame({"building_id": np.asarray(hit_ids, dtype=np.int64)})
+                hits.add(bid)
+        if hits:
+            yield pd.DataFrame({"building_id": np.fromiter(hits, dtype=np.int64)})
 
 
-def dedupe_buildings(new_buildings: DataFrame, existing_ways: DataFrame) -> DataFrame:
-    """J3: drop new buildings overlapping an existing way footprint."""
-    cols = ["building_id", "ring_lats", "ring_lons",
-            "min_lat", "min_lon", "max_lat", "max_lon"]
-    n_exp = new_buildings.select(F.explode("cells").alias("cell"), *cols)
-    e_exp = existing_ways.select(F.explode("cells").alias("cell"), *cols)
+def dedupe_buildings(new_buildings: DataFrame, existing_ways: DataFrame,
+                     join_level: int = config.DEDUPE_JOIN_LEVEL) -> DataFrame:
+    """J3: drop new buildings overlapping an existing way footprint.
 
-    def run(_key, ndf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
-        return overlap_hits_kernel(ndf, edf)
+    Candidate generation is a plain Catalyst equi-join on a FINE-level
+    (~300 m) bbox-cover cell plus a bbox-overlap column predicate — all
+    JVM/codegen, fully parallel, skew-free (building covers are 1–4
+    cells regardless of how urban the area is). Only the surviving
+    candidate pairs cross into Python for the exact ring-overlap test.
+    A coarse cogroup variant (whole level-12 cells into one kernel call)
+    was 10× slower on urban data: one ~10 km cell holds the entire
+    corpus slice, serializing the work into a handful of groups."""
+    def cover(df: DataFrame, prefix: str = "") -> DataFrame:
+        p = (lambda c: f"{prefix}{c}") if prefix else (lambda c: c)
+        return df.withColumn(
+            "cell",
+            F.explode(
+                cells_sql.bbox_cover_cells_expr(
+                    F.col(p("min_lat")), F.col(p("min_lon")),
+                    F.col(p("max_lat")), F.col(p("max_lon")), join_level,
+                )
+            ),
+        )
 
-    hits = (
-        n_exp.groupBy("cell")
-        .cogroup(e_exp.groupBy("cell"))
-        .applyInPandas(run, schema="building_id long")
-        .distinct()
+    n_exp = cover(new_buildings.select(
+        "building_id", "ring_lats", "ring_lons",
+        "min_lat", "min_lon", "max_lat", "max_lon",
+    ))
+    e_exp = cover(existing_ways.select(
+        F.col("building_id").alias("e_id"),
+        F.col("ring_lats").alias("e_ring_lats"),
+        F.col("ring_lons").alias("e_ring_lons"),
+        F.col("min_lat").alias("e_min_lat"),
+        F.col("min_lon").alias("e_min_lon"),
+        F.col("max_lat").alias("e_max_lat"),
+        F.col("max_lon").alias("e_max_lon"),
+    ), prefix="e_")
+
+    cand = (
+        n_exp.join(e_exp, "cell")
+        .filter(
+            (F.col("min_lat") <= F.col("e_max_lat"))
+            & (F.col("max_lat") >= F.col("e_min_lat"))
+            & (F.col("min_lon") <= F.col("e_max_lon"))
+            & (F.col("max_lon") >= F.col("e_min_lon"))
+        )
+        .dropDuplicates(["building_id", "e_id"])
+        .select("building_id", "ring_lats", "ring_lons",
+                "e_ring_lats", "e_ring_lons")
     )
+    hits = cand.mapInPandas(_overlap_pairs_kernel, schema="building_id long").distinct()
     return new_buildings.join(hits, "building_id", "left_anti")

@@ -65,28 +65,22 @@ def _pip_kernel(adf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
         & (plon[:, None] >= bdf["min_lon"].to_numpy()[None, :])
         & (plon[:, None] <= bdf["max_lon"].to_numpy()[None, :])
     )
-    out_a, out_b, out_area = [], [], []
-    ring_lats = bdf["ring_lats"].to_numpy()
-    ring_lons = bdf["ring_lons"].to_numpy()
-    b_ids = bdf["building_id"].to_numpy()
-    b_areas = bdf["area_m2"].to_numpy()
-    for j in np.flatnonzero(in_box.any(axis=0)):
-        pts = np.flatnonzero(in_box[:, j])
-        hit = geom.points_in_ring(
-            plat[pts], plon[pts],
-            np.asarray(ring_lats[j], dtype=np.float64),
-            np.asarray(ring_lons[j], dtype=np.float64),
-        )
-        for i in pts[hit]:
-            out_a.append(adf["addr_id"].iat[i])
-            out_b.append(b_ids[j])
-            out_area.append(b_areas[j])
+    pair_pt, pair_bld = np.nonzero(in_box)
+    if len(pair_pt) == 0:
+        return pd.DataFrame(columns=["addr_id", "building_id", "dist_m", "area_m2"])
+    flat_lat, flat_lon, offsets = geom.flatten_rings(
+        bdf["ring_lats"].to_numpy(), bdf["ring_lons"].to_numpy()
+    )
+    hit = geom.pairs_points_in_rings(
+        plat, plon, pair_pt, pair_bld, flat_lat, flat_lon, offsets
+    )
+    pi, bi = pair_pt[hit], pair_bld[hit]
     return pd.DataFrame(
         {
-            "addr_id": np.asarray(out_a, dtype=np.int64),
-            "building_id": np.asarray(out_b, dtype=np.int64),
-            "dist_m": np.zeros(len(out_a), dtype=np.float64),
-            "area_m2": np.asarray(out_area, dtype=np.float64),
+            "addr_id": adf["addr_id"].to_numpy()[pi],
+            "building_id": bdf["building_id"].to_numpy()[bi],
+            "dist_m": np.zeros(len(pi), dtype=np.float64),
+            "area_m2": bdf["area_m2"].to_numpy()[bi],
         }
     )
 
@@ -107,29 +101,23 @@ def _knn_kernel(adf: pd.DataFrame, bdf: pd.DataFrame, cutoff_m: float) -> pd.Dat
         & (plon[:, None] >= bdf["min_lon"].to_numpy()[None, :] - pad_lon)
         & (plon[:, None] <= bdf["max_lon"].to_numpy()[None, :] + pad_lon)
     )
-    out = {"addr_id": [], "building_id": [], "dist_m": [], "area_m2": []}
-    ring_lats = bdf["ring_lats"].to_numpy()
-    ring_lons = bdf["ring_lons"].to_numpy()
-    b_ids = bdf["building_id"].to_numpy()
-    b_areas = bdf["area_m2"].to_numpy()
-    for j in np.flatnonzero(near.any(axis=0)):
-        pts = np.flatnonzero(near[:, j])
-        d = geom.point_to_ring_dist_m(
-            plat[pts], plon[pts],
-            np.asarray(ring_lats[j], dtype=np.float64),
-            np.asarray(ring_lons[j], dtype=np.float64),
-        )
-        ok = d <= cutoff_m
-        out["addr_id"].extend(adf["addr_id"].to_numpy()[pts[ok]])
-        out["building_id"].extend([b_ids[j]] * int(ok.sum()))
-        out["dist_m"].extend(d[ok])
-        out["area_m2"].extend([b_areas[j]] * int(ok.sum()))
+    pair_pt, pair_bld = np.nonzero(near)
+    if len(pair_pt) == 0:
+        return pd.DataFrame(columns=["addr_id", "building_id", "dist_m", "area_m2"])
+    flat_lat, flat_lon, offsets = geom.flatten_rings(
+        bdf["ring_lats"].to_numpy(), bdf["ring_lons"].to_numpy()
+    )
+    d = geom.pairs_point_to_ring_dist_m(
+        plat, plon, pair_pt, pair_bld, flat_lat, flat_lon, offsets
+    )
+    ok = d <= cutoff_m
+    pi, bi = pair_pt[ok], pair_bld[ok]
     return pd.DataFrame(
         {
-            "addr_id": np.asarray(out["addr_id"], dtype=np.int64),
-            "building_id": np.asarray(out["building_id"], dtype=np.int64),
-            "dist_m": np.asarray(out["dist_m"], dtype=np.float64),
-            "area_m2": np.asarray(out["area_m2"], dtype=np.float64),
+            "addr_id": adf["addr_id"].to_numpy()[pi],
+            "building_id": bdf["building_id"].to_numpy()[bi],
+            "dist_m": d[ok],
+            "area_m2": bdf["area_m2"].to_numpy()[bi],
         }
     )
 

@@ -9,53 +9,88 @@ iterate until no tile exceeds the budget or MAX_CELL_LEVEL.
 
 Scale notes:
 - the encode is a pure column expression (cells_sql) — whole-stage
-  codegen, no Python round trip per iteration;
-- each round is one hash aggregate (count per tile) of which only the
-  OVER-BUDGET tile ids are collected (≤ total/budget entries — bounded
-  and tiny); convergence ≤ MAX_CELL_LEVEL − CELL_LEVEL rounds, 1–2 in
-  practice (only hot urban cells split);
-- deterministic: the split set is a pure function of global counts, so
-  the result is parallelism-invariant (SURVEY.md §5.2-5).
+  codegen, no Python round trip;
+- the recursive split is computed in ONE lazy plan (see
+  :func:`assign_tiles`): a single data-cardinality shuffle plus small
+  aggregations over the distinct-fine-cell counts. No driver loop, no
+  collected ``isin`` lists (at 10^12 elements the over-budget set can
+  reach ~10^8 ids and must stay distributed), no expression-tree growth
+  (an earlier nested-``when``-per-round variant OOMed janino codegen);
+- deterministic: the tile of a point is a pure function of global
+  counts, so the result is parallelism-invariant (SURVEY.md §5.2-5).
 """
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from mergeaddressesandbuildings_spark import config
-from mergeaddressesandbuildings_spark.functions import cells, cells_sql
+from mergeaddressesandbuildings_spark.functions import cells_sql
 
 
 def assign_tiles(points: DataFrame,
                  budget: int = config.TILE_MAX_ELEMS,
                  level: int = config.CELL_LEVEL,
                  max_level: int = config.MAX_CELL_LEVEL) -> DataFrame:
-    """points(elem_id, lat, lon, ...) → same + ``tile`` column."""
-    df = points.withColumn("_lvl", F.lit(level)).withColumn(
-        "tile", cells_sql.cell_expr(F.col("lat"), F.col("lon"), level)
+    """points(elem_id, lat, lon, ...) → same + ``tile`` column.
+
+    Single-pass formulation of the recursive split. Cell counts are
+    monotone non-increasing down the hierarchy (a child never holds more
+    points than its parent), so the iterative "split over-budget tiles
+    one level per round" fixpoint is exactly: *tile(p) = the first
+    ancestor of p's max_level cell — scanning from the base level down —
+    whose total count ≤ budget, else the max_level cell itself*. That
+    closed form needs no driver-side loop:
+
+      1. one hash-agg: count per max_level cell (the only shuffle that
+         touches the data's cardinality);
+      2. ancestor counts: explode each fine cell's ancestor chain
+         (prefix-coded Morton ⇒ parent = cell >> 2) over the COUNTS
+         DataFrame — at most (max_level−level+1) × distinct-fine-cells
+         rows, tiny relative to the data;
+      3. first under-budget ancestor per fine cell (left_anti against
+         the over-budget set + min(pos));
+      4. one equi-join of the data against the fine-cell→tile map (AQE
+         broadcasts it when small).
+
+    Everything is lazy — no collect, no localCheckpoint, no per-round
+    jobs — and parallelism-invariant (pure function of global counts).
+    A previous per-round driver loop cost ~4 jobs/round and 17 s on a
+    19k-row input; this plan runs in the noise.
+    """
+    n_lvls = max_level - level + 1
+    df = points.withColumn(
+        "_cmax", cells_sql.cell_expr(F.col("lat"), F.col("lon"), max_level)
     )
-    for lvl in range(level, max_level):
-        over = [
-            r["tile"]
-            for r in df.groupBy("tile").count().filter(F.col("count") > budget).collect()
-        ]
-        over_at_lvl = [
-            t for t in over if int(cells.level_of(np.array([t]))[0]) == lvl
-        ]
-        if not over_at_lvl:
-            break
-        hot = F.col("tile").isin(over_at_lvl)
-        df = df.withColumn(
-            "_lvl", F.when(hot, F.col("_lvl") + 1).otherwise(F.col("_lvl"))
-        ).withColumn(
-            "tile",
-            F.when(
-                hot,
-                cells_sql.cell_expr(F.col("lat"), F.col("lon"), F.col("_lvl")),
-            ).otherwise(F.col("tile")),
+    chain = F.array(*[
+        F.shiftright(F.col("_cmax"), 2 * (max_level - level - k))
+        for k in range(n_lvls)
+    ])
+    counts = df.groupBy("_cmax").agg(F.count("*").alias("_n")) \
+               .withColumn("_chain", chain)
+    anc = (
+        counts.select(F.explode("_chain").alias("_anc"), "_n")
+        .groupBy("_anc").agg(F.sum("_n").alias("_t"))
+    )
+    over = anc.filter(F.col("_t") > budget).select("_anc")
+    pos = counts.select(
+        "_cmax", F.posexplode("_chain").alias("_pos", "_anc")
+    )
+    first_ok = (
+        pos.join(over, "_anc", "left_anti")
+        .groupBy("_cmax").agg(F.min("_pos").alias("_p"))
+    )
+    tile_map = (
+        counts.join(first_ok, "_cmax", "left")
+        .select(
+            "_cmax",
+            F.element_at(
+                "_chain",
+                (F.coalesce(F.col("_p"), F.lit(n_lvls - 1)) + 1).cast("int"),
+            ).alias("tile"),
         )
-    return df.drop("_lvl")
+    )
+    return df.join(tile_map, "_cmax").drop("_cmax")
 
 
 def tile_points(assignments: DataFrame, buildings: DataFrame) -> DataFrame:

@@ -81,19 +81,21 @@ def write_tiles(
         # stable file bytes: sort within partitions (SURVEY.md §4)
         batch = batch.repartition(F.col("tile")).sortWithinPartitions("tile", *key_cols)
         batch.write.partitionBy("tile").mode("overwrite").parquet(_data_path(out_dir))
+        # manifest: stats are computed ONCE (collect — one small row per
+        # tile in the batch) and written back from the local rows, so the
+        # batch plan runs twice total (data write + stats), never a
+        # third time for a manifest re-read.
         stats = (
             batch.groupBy("tile")
             .agg(F.count("*").alias("n_rows"), fingerprint)
             .withColumn("batch_id", F.lit(bid))
         )
-        stats.write.mode("append").parquet(_manifest_path(out_dir))
-        batch_rows = (
-            spark.read.parquet(_manifest_path(out_dir))
-            .filter(F.col("batch_id") == bid)
-            .agg(F.sum("n_rows"))
-            .collect()[0][0]
-        )
-        rows_written += int(batch_rows or 0)
+        stat_rows = stats.collect()
+        if stat_rows:
+            spark.createDataFrame(stat_rows, stats.schema) \
+                .coalesce(1) \
+                .write.mode("append").parquet(_manifest_path(out_dir))
+        rows_written += sum(int(r["n_rows"]) for r in stat_rows)
         batches_run += 1
 
     return {
