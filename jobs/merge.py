@@ -66,14 +66,20 @@ def main() -> None:
         budget=args.budget or config.TILE_MAX_ELEMS,
     )
 
-    from pyspark import StorageLevel
-
     tiles = res.tiles.select("elem_id", "tile")
-    assignments = res.assignments.join(tiles, res.assignments["addr_id"] == tiles["elem_id"]) \
-                                 .drop("elem_id") \
-                                 .persist(StorageLevel.MEMORY_AND_DISK)
+    # materialization barrier: write the flat assignments once and plan
+    # every downstream action (fingerprint agg, sink batches) against
+    # the clean parquet scan instead of re-analyzing the full
+    # extraction→join→decision tree. (localCheckpoint was tried and is
+    # ~7× slower here — it materializes through the non-AQE .rdd path.)
+    flat_path = os.path.join(args.out, "assignments_flat")
+    res.assignments.join(tiles, res.assignments["addr_id"] == tiles["elem_id"]) \
+                   .drop("elem_id") \
+                   .write.mode("overwrite").parquet(flat_path)
+    assignments = spark.read.parquet(flat_path)
 
     n_pages = pages.count()
+    t_load = time.monotonic() - t0
     # one action for fingerprint + row count + tile count (the
     # fingerprint is order-independent, so parallelism-invariance across
     # the N vs 4N scaling runs is checkable from this line alone)
@@ -83,6 +89,7 @@ def main() -> None:
         F.countDistinct("tile").alias("nt"),
     ).collect()[0]
     fingerprint, n_assign, n_tiles = frow["fp"], int(frow["n"]), int(frow["nt"])
+    t_compute = time.monotonic() - t0 - t_load
 
     write_stats = None
     if not args.skip_write:
@@ -93,8 +100,11 @@ def main() -> None:
         )
 
     wall = time.monotonic() - t0
+    t_write = wall - t_load - t_compute
     print(json.dumps({
         "job": "merge",
+        "phase_s": {"load": round(t_load, 2), "compute": round(t_compute, 2),
+                    "write": round(t_write, 2)},
         "master": args.master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}]",
         "n_pages": n_pages,
         "n_assignments": n_assign,

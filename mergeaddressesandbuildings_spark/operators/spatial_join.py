@@ -169,55 +169,173 @@ def _cogroup_refine(addresses: DataFrame, buildings: DataFrame, kernel,
     )
 
 
-def _broadcast_refine(addresses: DataFrame, buildings_pdf: pd.DataFrame,
-                      kernel, by_cell: bool) -> DataFrame:
-    """Broadcast path (J6): building side rides the UDF closure; the
-    address side is never shuffled. ``by_cell`` restricts each batch to
-    buildings covering the batch's cells (PIP) or their neighbors (kNN
-    handles this by passing pre-expanded cell sets)."""
-    cell_index: dict[int, list[int]] = {}
-    for row_i, cs in enumerate(buildings_pdf["cells"]):
-        for c in cs:
-            cell_index.setdefault(int(c), []).append(row_i)
+class BldIndex:
+    """Broadcast building index (J6): plain numpy buffers — flattened
+    rings, bboxes, and a sorted fine-cell cover for searchsorted
+    candidate lookup. Pickles as raw buffers (fast to ship per task,
+    unlike a pandas frame holding Python-list rings, whose per-task
+    unpickle dominated the old broadcast path)."""
+
+    def __init__(self, buildings_pdf: pd.DataFrame, level: int):
+        self.level = level
+        self.ids = buildings_pdf["building_id"].to_numpy(dtype=np.int64)
+        self.areas = buildings_pdf["area_m2"].to_numpy(dtype=np.float64)
+        self.min_lat = buildings_pdf["min_lat"].to_numpy(dtype=np.float64)
+        self.min_lon = buildings_pdf["min_lon"].to_numpy(dtype=np.float64)
+        self.max_lat = buildings_pdf["max_lat"].to_numpy(dtype=np.float64)
+        self.max_lon = buildings_pdf["max_lon"].to_numpy(dtype=np.float64)
+        self.flat_lat, self.flat_lon, self.offsets = geom.flatten_rings(
+            buildings_pdf["ring_lats"].to_numpy(),
+            buildings_pdf["ring_lons"].to_numpy(),
+        )
+        covers = cells.cover_bbox(
+            self.min_lat, self.min_lon, self.max_lat, self.max_lon, level
+        )
+        lens = np.fromiter((len(c) for c in covers), dtype=np.int64,
+                           count=len(covers))
+        cover_cells = (np.concatenate(covers) if len(covers)
+                       else np.empty(0, dtype=np.int64))
+        cover_rows = np.repeat(np.arange(len(covers), dtype=np.int64), lens)
+        order = np.argsort(cover_cells, kind="stable")
+        self.cover_cells = cover_cells[order]
+        self.cover_rows = cover_rows[order]
+
+    def candidates(self, qcells: np.ndarray, qpt: np.ndarray):
+        """(query cell, query point) → candidate (point, building) pair
+        arrays, via binary search on the sorted cover."""
+        lo = np.searchsorted(self.cover_cells, qcells, "left")
+        hi = np.searchsorted(self.cover_cells, qcells, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        excl = np.zeros(len(qcells), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=excl[1:])
+        local = np.arange(total, dtype=np.int64) - np.repeat(excl, cnt)
+        pos = np.repeat(lo, cnt) + local
+        return np.repeat(qpt, cnt), self.cover_rows[pos]
+
+
+def build_broadcast_index(buildings_pdf: pd.DataFrame,
+                          level: int = config.REFINE_INDEX_LEVEL) -> BldIndex:
+    return BldIndex(buildings_pdf, level)
+
+
+def _broadcast_refine(addresses: DataFrame, index: BldIndex,
+                      pair_fn) -> DataFrame:
+    """Broadcast path (J6): the numpy index rides the UDF closure; the
+    address side is never shuffled. ``pair_fn(plat, plon, addr_ids,
+    index)`` returns the candidate-pair output frame."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for adf in batches:
             if adf.empty:
                 continue
-            if not by_cell:
-                out = kernel(adf, buildings_pdf)
-                if not out.empty:
-                    yield out
-                continue
-            # per-cell sub-batches: the candidate matrix is then
-            # |cell points| × |cell buildings|, never batch × corpus
-            for c, grp in adf.groupby("cell", sort=False):
-                rows = cell_index.get(int(c))
-                if not rows:
-                    continue
-                out = kernel(grp, buildings_pdf.iloc[rows])
-                if not out.empty:
-                    yield out
+            out = pair_fn(
+                adf["lat"].to_numpy(dtype=np.float64),
+                adf["lon"].to_numpy(dtype=np.float64),
+                adf["addr_id"].to_numpy(dtype=np.int64),
+                index,
+            )
+            if out is not None and not out.empty:
+                yield out
 
-    return addresses.select("cell", *_ADDR_KERNEL_COLS).mapInPandas(run, schema=CAND_SCHEMA)
+    return addresses.select(*_ADDR_KERNEL_COLS).mapInPandas(run, schema=CAND_SCHEMA)
+
+
+def _pip_pairs(plat, plon, addr_ids, index: BldIndex) -> pd.DataFrame:
+    """PIP over broadcast index: fine-cell lookup → bbox filter → one
+    flattened-edge pair-PIP pass."""
+    fine = cells.encode(plat, plon, index.level)
+    pair_pt, pair_bld = index.candidates(fine, np.arange(len(plat), dtype=np.int64))
+    keep = (
+        (plat[pair_pt] >= index.min_lat[pair_bld])
+        & (plat[pair_pt] <= index.max_lat[pair_bld])
+        & (plon[pair_pt] >= index.min_lon[pair_bld])
+        & (plon[pair_pt] <= index.max_lon[pair_bld])
+    )
+    pair_pt, pair_bld = pair_pt[keep], pair_bld[keep]
+    hit = geom.pairs_points_in_rings(
+        plat, plon, pair_pt, pair_bld,
+        index.flat_lat, index.flat_lon, index.offsets,
+    )
+    pi, bi = pair_pt[hit], pair_bld[hit]
+    return pd.DataFrame(
+        {
+            "addr_id": addr_ids[pi],
+            "building_id": index.ids[bi],
+            "dist_m": np.zeros(len(pi), dtype=np.float64),
+            "area_m2": index.areas[bi],
+        }
+    )
+
+
+def _knn_pairs(plat, plon, addr_ids, index: BldIndex, cutoff_m: float) -> pd.DataFrame:
+    """kNN over broadcast index: 3×3 fine-neighborhood lookup (valid
+    while cutoff ≤ one fine-cell width — asserted at plan build) →
+    padded-bbox filter → one flattened-edge pair-distance pass."""
+    n = len(plat)
+    fine = cells.encode(plat, plon, index.level)
+    nb = cells.neighbors(fine)  # (n, 9)
+    qpt = np.repeat(np.arange(n, dtype=np.int64), 9)
+    pair_pt, pair_bld = index.candidates(nb.reshape(-1), qpt)
+    if len(pair_pt) == 0:
+        return pd.DataFrame(columns=["addr_id", "building_id", "dist_m", "area_m2"])
+    # a building cover spanning several neighbor cells yields duplicate
+    # pairs — dedupe with one sort so the distance pass runs once per pair
+    key = pair_pt * np.int64(len(index.ids)) + pair_bld
+    _, uidx = np.unique(key, return_index=True)
+    pair_pt, pair_bld = pair_pt[uidx], pair_bld[uidx]
+
+    pad_lat = cutoff_m / config.DEG_TO_M
+    pad_lon = cutoff_m / (config.DEG_TO_M * np.cos(np.radians(plat[pair_pt])))
+    keep = (
+        (plat[pair_pt] >= index.min_lat[pair_bld] - pad_lat)
+        & (plat[pair_pt] <= index.max_lat[pair_bld] + pad_lat)
+        & (plon[pair_pt] >= index.min_lon[pair_bld] - pad_lon)
+        & (plon[pair_pt] <= index.max_lon[pair_bld] + pad_lon)
+    )
+    pair_pt, pair_bld = pair_pt[keep], pair_bld[keep]
+    d = geom.pairs_point_to_ring_dist_m(
+        plat, plon, pair_pt, pair_bld,
+        index.flat_lat, index.flat_lon, index.offsets,
+    )
+    ok = d <= cutoff_m
+    pi, bi = pair_pt[ok], pair_bld[ok]
+    return pd.DataFrame(
+        {
+            "addr_id": addr_ids[pi],
+            "building_id": index.ids[bi],
+            "dist_m": d[ok],
+            "area_m2": index.areas[bi],
+        }
+    )
 
 
 def pip_candidates(addresses: DataFrame, buildings: DataFrame,
-                   broadcast_pdf: pd.DataFrame | None = None,
+                   broadcast_index: BldIndex | None = None,
                    salt_threshold: int = config.SALT_THRESHOLD) -> DataFrame:
     """J1: (addr, containing-building) candidate pairs."""
-    if broadcast_pdf is not None:
-        return _broadcast_refine(addresses, broadcast_pdf, _pip_kernel, by_cell=True)
+    if broadcast_index is not None:
+        return _broadcast_refine(addresses, broadcast_index, _pip_pairs)
     return _cogroup_refine(addresses, buildings, _pip_kernel, salt_threshold)
 
 
 def knn_candidates(addresses: DataFrame, buildings: DataFrame,
                    cutoff_m: float = config.KNN_CUTOFF_M,
                    level: int = config.CELL_LEVEL,
-                   broadcast_pdf: pd.DataFrame | None = None,
+                   broadcast_index: BldIndex | None = None,
                    salt_threshold: int = config.SALT_THRESHOLD) -> DataFrame:
-    """J2 candidates: addresses replicated to their 3×3 cell
-    neighborhood (T3) and matched against building cover cells."""
+    """J2 candidates: addresses matched against building cover cells in
+    their 3×3 cell neighborhood (T3)."""
+    if broadcast_index is not None:
+        assert cells.min_cell_width_m(broadcast_index.level, 80.0) >= cutoff_m, (
+            "kNN cutoff exceeds one fine-cell width — neighborhood incomplete (§8.5)"
+        )
+        pair_fn = lambda plat, plon, ids, idx: _knn_pairs(plat, plon, ids, idx, cutoff_m)
+        return _broadcast_refine(addresses, broadcast_index, pair_fn)
+
     assert cells.min_cell_width_m(level, 80.0) >= cutoff_m, (
         "kNN cutoff exceeds one cell width — neighbor expansion incomplete (§8.5)"
     )
@@ -240,23 +358,19 @@ def knn_candidates(addresses: DataFrame, buildings: DataFrame,
         addresses.select("cell", *_ADDR_KERNEL_COLS)
         .mapInPandas(expand, schema=a_schema)
     )
-    if broadcast_pdf is not None:
-        kern = lambda adf, bdf: _knn_kernel(adf, bdf, cutoff_m)
-        raw = _broadcast_refine(a_exp, broadcast_pdf, kern, by_cell=True)
-    else:
-        b_exp = buildings.select(F.explode("cells").alias("cell"), *_BLD_KERNEL_COLS)
-        # factors computed on the un-expanded addresses (1 row per addr,
-        # not 9) — avoids re-running the expansion job just for counts
-        a, b = _with_salt(a_exp, b_exp, _salt_factors(addresses, salt_threshold))
+    b_exp = buildings.select(F.explode("cells").alias("cell"), *_BLD_KERNEL_COLS)
+    # factors computed on the un-expanded addresses (1 row per addr,
+    # not 9) — avoids re-running the expansion job just for counts
+    a, b = _with_salt(a_exp, b_exp, _salt_factors(addresses, salt_threshold))
 
-        def run(_key, adf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
-            return _knn_kernel(adf, bdf, cutoff_m)
+    def run(_key, adf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        return _knn_kernel(adf, bdf, cutoff_m)
 
-        raw = (
-            a.groupBy("cell", "salt")
-            .cogroup(b.groupBy("cell", "salt"))
-            .applyInPandas(run, schema=CAND_SCHEMA)
-        )
+    raw = (
+        a.groupBy("cell", "salt")
+        .cogroup(b.groupBy("cell", "salt"))
+        .applyInPandas(run, schema=CAND_SCHEMA)
+    )
     # an (addr, building) pair can surface via several neighbor cells
     # with identical dist — harmless for the top-1 window (row_number
     # picks exactly one of the identical rows), so no dedup shuffle here;

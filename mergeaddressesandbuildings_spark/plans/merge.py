@@ -76,25 +76,36 @@ def run_merge(
     # J6 broadcast decision: small building side → ship as closure, no
     # shuffle at all. (On a cluster this is the per-region fast path.)
     n_bld = buildings.count()
-    broadcast_pdf = None
+    broadcast_idx = None
     if n_bld <= broadcast_max:
-        broadcast_pdf = buildings.select(
-            "building_id", "ring_lats", "ring_lons",
-            "min_lat", "min_lon", "max_lat", "max_lon", "area_m2", "cells",
-        ).toPandas()
+        broadcast_idx = sj.build_broadcast_index(
+            buildings.select(
+                "building_id", "ring_lats", "ring_lons",
+                "min_lat", "min_lon", "max_lat", "max_lon", "area_m2",
+            ).toPandas()
+        )
 
-    pip = sj.pip_candidates(addresses, buildings, broadcast_pdf=broadcast_pdf,
+    pip = sj.pip_candidates(addresses, buildings, broadcast_index=broadcast_idx,
                             salt_threshold=salt_threshold)
-    pip_winners = sj.pick_pip_winner(pip)
+    # winners feed three consumers (unmatched anti-join, decisions,
+    # output sets) — persist AND materialize eagerly: a lazily-persisted
+    # frame referenced from several branches of one downstream job gets
+    # recomputed per branch (parallel stage submission races the cache),
+    # so each hot frame is counted once right after persist. The counts
+    # are the materialization passes, not extra work.
+    pip_winners = sj.pick_pip_winner(pip).persist(StorageLevel.MEMORY_AND_DISK)
+    pip_winners.count()
 
     unmatched = addresses.join(pip_winners.select("addr_id"), "addr_id", "left_anti")
     knn = sj.knn_candidates(unmatched, buildings, cutoff_m=knn_cutoff_m,
-                            level=level, broadcast_pdf=broadcast_pdf,
+                            level=level, broadcast_index=broadcast_idx,
                             salt_threshold=salt_threshold)
-    knn_winners = sj.pick_knn_winner(knn)
+    knn_winners = sj.pick_knn_winner(knn).persist(StorageLevel.MEMORY_AND_DISK)
+    knn_winners.count()
 
     assignments = dec.assign(addresses, pip_winners, knn_winners, buildings)
     assignments = assignments.persist(StorageLevel.MEMORY_AND_DISK)
+    assignments.count()  # see pip_winners note: materialize before fan-out
     sets = dec.output_sets(assignments, buildings)
 
     points = tiling.tile_points(assignments, buildings)

@@ -70,33 +70,43 @@ def write_tiles(
         "bit_xor(xxhash64({}))".format(", ".join(key_cols))
     ).alias("fingerprint")
 
+    bucket = F.pmod(F.xxhash64(F.col("tile")), F.lit(n_batches))
+    # a tile belongs to exactly ONE batch (bucket is a pure function of
+    # tile), so per-tile stats over the whole frame equal the per-batch
+    # stats — compute them in a single shuffle up front instead of one
+    # aggregate job per batch, and keep them distributed (at 10^12 rows
+    # the tile set can reach ~10^8 entries; nothing here collects it).
+    stats_all = (
+        df.groupBy("tile")
+        .agg(F.count("*").alias("n_rows"), fingerprint)
+        .withColumn("_b", F.pmod(F.xxhash64(F.col("tile")), F.lit(n_batches)))
+        .persist()
+    )
+    per_bucket = {
+        int(r["_b"]): int(r["rows"])
+        for r in stats_all.groupBy("_b").agg(F.sum("n_rows").alias("rows")).collect()
+    }
+
     batches_run = 0
     rows_written = 0
-    bucket = F.pmod(F.xxhash64(F.col("tile")), F.lit(n_batches))
     for k in range(n_batches):
         if fail_after_batches is not None and batches_run >= fail_after_batches:
+            stats_all.unpersist()
             raise RuntimeError(f"test hook: simulated crash after {batches_run} batches")
         bid = batch_offset + k
         batch = df.filter(bucket == k)
         # stable file bytes: sort within partitions (SURVEY.md §4)
         batch = batch.repartition(F.col("tile")).sortWithinPartitions("tile", *key_cols)
         batch.write.partitionBy("tile").mode("overwrite").parquet(_data_path(out_dir))
-        # manifest: stats are computed ONCE (collect — one small row per
-        # tile in the batch) and written back from the local rows, so the
-        # batch plan runs twice total (data write + stats), never a
-        # third time for a manifest re-read.
-        stats = (
-            batch.groupBy("tile")
-            .agg(F.count("*").alias("n_rows"), fingerprint)
-            .withColumn("batch_id", F.lit(bid))
-        )
-        stat_rows = stats.collect()
-        if stat_rows:
-            spark.createDataFrame(stat_rows, stats.schema) \
-                .coalesce(1) \
-                .write.mode("append").parquet(_manifest_path(out_dir))
-        rows_written += sum(int(r["n_rows"]) for r in stat_rows)
+        # manifest rows appended ONLY after the batch's data write
+        # committed — resume correctness depends on this ordering
+        stats_all.filter(F.col("_b") == k).drop("_b") \
+            .withColumn("batch_id", F.lit(bid)) \
+            .coalesce(1) \
+            .write.mode("append").parquet(_manifest_path(out_dir))
+        rows_written += per_bucket.get(k, 0)
         batches_run += 1
+    stats_all.unpersist()
 
     return {
         "batches_run": batches_run,
