@@ -224,11 +224,15 @@ def build_broadcast_index(buildings_pdf: pd.DataFrame,
 
 def _broadcast_refine(addresses: DataFrame, index: BldIndex,
                       pair_fn) -> DataFrame:
-    """Broadcast path (J6): the numpy index rides the UDF closure; the
-    address side is never shuffled. ``pair_fn(plat, plon, addr_ids,
-    index)`` returns the candidate-pair output frame."""
+    """Broadcast path (J6): the numpy index ships as a Spark broadcast
+    variable (once per executor, torrent protocol on a cluster — never
+    re-pickled per task in the closure); the address side is never
+    shuffled. ``pair_fn(plat, plon, addr_ids, index)`` returns the
+    candidate-pair output frame."""
+    bc = addresses.sparkSession.sparkContext.broadcast(index)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = bc.value
         for adf in batches:
             if adf.empty:
                 continue
@@ -236,7 +240,7 @@ def _broadcast_refine(addresses: DataFrame, index: BldIndex,
                 adf["lat"].to_numpy(dtype=np.float64),
                 adf["lon"].to_numpy(dtype=np.float64),
                 adf["addr_id"].to_numpy(dtype=np.int64),
-                index,
+                idx,
             )
             if out is not None and not out.empty:
                 yield out
@@ -313,28 +317,164 @@ def _knn_pairs(plat, plon, addr_ids, index: BldIndex, cutoff_m: float) -> pd.Dat
     )
 
 
+def _flat_pair_frame(pdf: pd.DataFrame, dists: np.ndarray | None = None,
+                     mask: np.ndarray | None = None) -> pd.DataFrame:
+    sel = np.flatnonzero(mask) if mask is not None else np.arange(len(pdf))
+    return pd.DataFrame(
+        {
+            "addr_id": pdf["addr_id"].to_numpy(dtype=np.int64)[sel],
+            "building_id": pdf["building_id"].to_numpy(dtype=np.int64)[sel],
+            "dist_m": (np.zeros(len(sel), dtype=np.float64) if dists is None
+                       else dists[sel]),
+            "area_m2": pdf["area_m2"].to_numpy(dtype=np.float64)[sel],
+        }
+    )
+
+
+def _pair_join_candidates(addresses: DataFrame, buildings: DataFrame,
+                          level: int, knn_cutoff_m: float | None) -> DataFrame:
+    """Shuffle strategy for J1/J2 at corpus scale: a Catalyst equi-join
+    on FINE-level cells (addresses at their cell — or its 3×3
+    neighborhood for kNN — against exploded building bbox-cover cells),
+    a bbox predicate in the JVM, then a per-PAIR Arrow refine via
+    mapInPandas. No applyInPandas groups exist, so there is no group
+    that can outgrow an executor: skewed hot cells are ordinary join
+    skew, which AQE's skew-join split handles. Shuffle volume carries
+    each candidate pair's ring once; candidate counts stay near-linear
+    because the fine cell (~1 km) bounds the match radius."""
+    a = addresses.select("addr_id", "lat", "lon")
+    if knn_cutoff_m is None:
+        a = a.withColumn(
+            "fcell", cells_sql.cell_expr(F.col("lat"), F.col("lon"), level)
+        )
+    else:
+        # 3×3 fine-neighborhood expansion (valid while cutoff ≤ one fine
+        # cell width — asserted by the caller). Arrow kernel, not an
+        # all-expression explode (janino method-size limit, see below).
+        def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                if b.empty:
+                    continue
+                fine = cells.encode(
+                    b["lat"].to_numpy(np.float64), b["lon"].to_numpy(np.float64),
+                    level,
+                )
+                nb = cells.neighbors(fine)  # (n, 9)
+                rep = b.loc[b.index.repeat(9)].reset_index(drop=True)
+                rep["fcell"] = nb.reshape(-1)
+                yield rep
+
+        a = a.mapInPandas(
+            expand, schema="addr_id long, lat double, lon double, fcell long"
+        )
+
+    b = buildings.select(
+        "building_id", "ring_lats", "ring_lons", "area_m2",
+        F.col("min_lat").alias("b_min_lat"), F.col("min_lon").alias("b_min_lon"),
+        F.col("max_lat").alias("b_max_lat"), F.col("max_lon").alias("b_max_lon"),
+    ).withColumn(
+        "fcell",
+        F.explode(
+            cells_sql.bbox_cover_cells_expr(
+                F.col("b_min_lat"), F.col("b_min_lon"),
+                F.col("b_max_lat"), F.col("b_max_lon"), level,
+            )
+        ),
+    )
+
+    if knn_cutoff_m is None:
+        bbox_pred = (
+            (F.col("lat") >= F.col("b_min_lat")) & (F.col("lat") <= F.col("b_max_lat"))
+            & (F.col("lon") >= F.col("b_min_lon")) & (F.col("lon") <= F.col("b_max_lon"))
+        )
+    else:
+        pad_lat = F.lit(knn_cutoff_m / config.DEG_TO_M)
+        pad_lon = F.lit(knn_cutoff_m) / (
+            F.lit(config.DEG_TO_M) * F.cos(F.radians(F.col("lat")))
+        )
+        bbox_pred = (
+            (F.col("lat") >= F.col("b_min_lat") - pad_lat)
+            & (F.col("lat") <= F.col("b_max_lat") + pad_lat)
+            & (F.col("lon") >= F.col("b_min_lon") - pad_lon)
+            & (F.col("lon") <= F.col("b_max_lon") + pad_lon)
+        )
+
+    # a building cover spanning several (neighbor) cells can duplicate a
+    # pair; identical rows are harmless for the top-1 window, so no
+    # dedup shuffle here
+    cand = a.join(b, "fcell").filter(bbox_pred).select(
+        "addr_id", "lat", "lon",
+        "building_id", "ring_lats", "ring_lons", "area_m2",
+    )
+    cutoff = knn_cutoff_m
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            flat_lat, flat_lon, offsets = geom.flatten_rings(
+                pdf["ring_lats"].to_numpy(), pdf["ring_lons"].to_numpy()
+            )
+            idx = np.arange(len(pdf), dtype=np.int64)
+            plat = pdf["lat"].to_numpy(dtype=np.float64)
+            plon = pdf["lon"].to_numpy(dtype=np.float64)
+            if cutoff is None:
+                hit = geom.pairs_points_in_rings(
+                    plat, plon, idx, idx, flat_lat, flat_lon, offsets
+                )
+                out = _flat_pair_frame(pdf, mask=hit)
+            else:
+                d = geom.pairs_point_to_ring_dist_m(
+                    plat, plon, idx, idx, flat_lat, flat_lon, offsets
+                )
+                out = _flat_pair_frame(pdf, dists=d, mask=d <= cutoff)
+            if not out.empty:
+                yield out
+
+    return cand.mapInPandas(refine, schema=CAND_SCHEMA)
+
+
 def pip_candidates(addresses: DataFrame, buildings: DataFrame,
                    broadcast_index: BldIndex | None = None,
-                   salt_threshold: int = config.SALT_THRESHOLD) -> DataFrame:
-    """J1: (addr, containing-building) candidate pairs."""
+                   salt_threshold: int = config.SALT_THRESHOLD,
+                   strategy: str = config.SPATIAL_JOIN_STRATEGY) -> DataFrame:
+    """J1: (addr, containing-building) candidate pairs.
+
+    Strategies: broadcast (small building side, no shuffle at all),
+    pair-join (default shuffle path — fine-cell equi-join + per-pair
+    refine, skew handled by AQE), cogroup (salted applyInPandas groups —
+    kept for the explicit hot-cell-salting strategy and tests)."""
     if broadcast_index is not None:
         return _broadcast_refine(addresses, broadcast_index, _pip_pairs)
-    return _cogroup_refine(addresses, buildings, _pip_kernel, salt_threshold)
+    if strategy == "cogroup":
+        return _cogroup_refine(addresses, buildings, _pip_kernel, salt_threshold)
+    return _pair_join_candidates(
+        addresses, buildings, config.REFINE_INDEX_LEVEL, knn_cutoff_m=None
+    )
 
 
 def knn_candidates(addresses: DataFrame, buildings: DataFrame,
                    cutoff_m: float = config.KNN_CUTOFF_M,
                    level: int = config.CELL_LEVEL,
                    broadcast_index: BldIndex | None = None,
-                   salt_threshold: int = config.SALT_THRESHOLD) -> DataFrame:
+                   salt_threshold: int = config.SALT_THRESHOLD,
+                   strategy: str = config.SPATIAL_JOIN_STRATEGY) -> DataFrame:
     """J2 candidates: addresses matched against building cover cells in
-    their 3×3 cell neighborhood (T3)."""
+    their 3×3 cell neighborhood (T3). Same strategy set as
+    :func:`pip_candidates`."""
     if broadcast_index is not None:
         assert cells.min_cell_width_m(broadcast_index.level, 80.0) >= cutoff_m, (
             "kNN cutoff exceeds one fine-cell width — neighborhood incomplete (§8.5)"
         )
         pair_fn = lambda plat, plon, ids, idx: _knn_pairs(plat, plon, ids, idx, cutoff_m)
         return _broadcast_refine(addresses, broadcast_index, pair_fn)
+    if strategy != "cogroup":
+        assert cells.min_cell_width_m(config.REFINE_INDEX_LEVEL, 80.0) >= cutoff_m, (
+            "kNN cutoff exceeds one fine-cell width — neighborhood incomplete (§8.5)"
+        )
+        return _pair_join_candidates(
+            addresses, buildings, config.REFINE_INDEX_LEVEL, knn_cutoff_m=cutoff_m
+        )
 
     assert cells.min_cell_width_m(level, 80.0) >= cutoff_m, (
         "kNN cutoff exceeds one cell width — neighbor expansion incomplete (§8.5)"

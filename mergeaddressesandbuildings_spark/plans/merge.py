@@ -54,6 +54,17 @@ def run_merge(
     salt_threshold: int = config.SALT_THRESHOLD,
     broadcast_max: int = config.BROADCAST_BUILDINGS_MAX,
 ) -> MergeResult:
+    # parquet splitting is SIZE-based; page html is small but extraction
+    # is CPU-heavy per row, so a compact fixture scan yields far fewer
+    # partitions than cores and the Arrow kernels run almost serial.
+    # Fan the input out to the session's parallelism first (tiny shuffle
+    # of raw bytes, repaid immediately by the extraction stage).
+    par = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < par:
+        pages = pages.repartition(par * 2)
+    if existing_osm is not None and existing_osm.rdd.getNumPartitions() < par:
+        existing_osm = existing_osm.repartition(par * 2)
+
     records = extract.extract_records(pages, level=level)
     # materialize the extraction once: addresses & buildings both branch
     # from it, and persisting here keeps `html` out of every later scan
