@@ -66,16 +66,26 @@ def main() -> None:
         budget=args.budget or config.TILE_MAX_ELEMS,
     )
 
-    tiles = res.tiles.select("elem_id", "tile")
+    # tile membership: join the assignments against the DISTINCT
+    # fine-cell → tile map on the cell key (the map is orders of
+    # magnitude smaller than the full points universe; AQE broadcasts
+    # it), instead of joining full point rows back by element id.
+    from mergeaddressesandbuildings_spark.functions import cells_sql
+    from mergeaddressesandbuildings_spark.operators import tiling
+
+    tm = tiling.tile_map(res.tile_points, level=args.level or config.CELL_LEVEL,
+                         budget=args.budget or config.TILE_MAX_ELEMS)
+    with_tile = res.assignments.withColumn(
+        "_cmax",
+        cells_sql.cell_expr(F.col("lat"), F.col("lon"), config.MAX_CELL_LEVEL),
+    ).join(tm, "_cmax").drop("_cmax")
     # materialization barrier: write the flat assignments once and plan
     # every downstream action (fingerprint agg, sink batches) against
     # the clean parquet scan instead of re-analyzing the full
     # extraction→join→decision tree. (localCheckpoint was tried and is
     # ~7× slower here — it materializes through the non-AQE .rdd path.)
     flat_path = os.path.join(args.out, "assignments_flat")
-    res.assignments.join(tiles, res.assignments["addr_id"] == tiles["elem_id"]) \
-                   .drop("elem_id") \
-                   .write.mode("overwrite").parquet(flat_path)
+    with_tile.write.mode("overwrite").parquet(flat_path)
     assignments = spark.read.parquet(flat_path)
 
     n_pages = pages.count()

@@ -58,6 +58,22 @@ def assign_tiles(points: DataFrame,
     A previous per-round driver loop cost ~4 jobs/round and 17 s on a
     19k-row input; this plan runs in the noise.
     """
+    df = points.withColumn(
+        "_cmax", cells_sql.cell_expr(F.col("lat"), F.col("lon"), max_level)
+    )
+    tm = tile_map(points, budget=budget, level=level, max_level=max_level)
+    return df.join(tm, "_cmax").drop("_cmax")
+
+
+def tile_map(points: DataFrame,
+             budget: int = config.TILE_MAX_ELEMS,
+             level: int = config.CELL_LEVEL,
+             max_level: int = config.MAX_CELL_LEVEL) -> DataFrame:
+    """The fine-cell → tile mapping ``(_cmax, tile)`` for the points
+    universe (see :func:`assign_tiles` for the derivation). Exposed
+    separately so a consumer that already knows a row's coordinates can
+    join on the (much smaller) distinct-cell map directly instead of
+    joining full point rows back by element id."""
     n_lvls = max_level - level + 1
     df = points.withColumn(
         "_cmax", cells_sql.cell_expr(F.col("lat"), F.col("lon"), max_level)
@@ -80,7 +96,7 @@ def assign_tiles(points: DataFrame,
         pos.join(over, "_anc", "left_anti")
         .groupBy("_cmax").agg(F.min("_pos").alias("_p"))
     )
-    tile_map = (
+    return (
         counts.join(first_ok, "_cmax", "left")
         .select(
             "_cmax",
@@ -90,7 +106,6 @@ def assign_tiles(points: DataFrame,
             ).alias("tile"),
         )
     )
-    return df.join(tile_map, "_cmax").drop("_cmax")
 
 
 def tile_points(assignments: DataFrame, buildings: DataFrame) -> DataFrame:

@@ -42,6 +42,7 @@ class MergeResult:
     assignments: DataFrame
     sets: DataFrame
     tiles: DataFrame  # assignments+buildings with tile column
+    tile_points: DataFrame  # the tile universe (elem_id, lat, lon, kind)
 
 
 def run_merge(
@@ -128,4 +129,5 @@ def run_merge(
         assignments=assignments,
         sets=sets,
         tiles=tiles,
+        tile_points=points,
     )
