@@ -735,3 +735,220 @@ def events_stream_tumbling(spark, sf_dir):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------
+# O2/O3, U3, J6, F1, F5, F10, T1 parity additions (SURVEY §2.6/2.9/2.3/2.8/2.7)
+# ---------------------------------------------------------------------
+
+@register(
+    "top_revenue_orders",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def top_revenue_orders(spark, sf_dir):
+    """O2/O3: global top-k — orderBy + limit with a deterministic
+    tie-break (Spark runs this as TakeOrderedAndProject: per-partition
+    top-k then a k-row driver merge, never a full global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select(F.col("o_orderkey").cast("long"), _CENTS("o_totalprice").alias("total_cents"))
+    )
+
+
+@register(
+    "repeat_buyers_9495",
+    """
+    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+    INTERSECT
+    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    """,
+)
+def repeat_buyers_9495(spark, sf_dir):
+    """U3: intersect of two derived key sets."""
+    o = _t(spark, sf_dir, "orders")
+    def year(y):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y+1}-01-01").cast("timestamp"))
+            ).select(F.col("o_custkey").cast("long").alias("custkey"))
+        )
+    return year(1994).intersect(year(1995))
+
+
+@register(
+    "broadcast_nation_join",
+    """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acct_cents
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def broadcast_nation_join(spark, sf_dir):
+    """J6: explicit broadcast of the small dimension side — the big
+    side is never shuffled for the join (only for the final agg)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.sum(_CENTS("c_acctbal")).alias("acct_cents"))
+    )
+
+
+_HAVERSINE_ORACLE = """
+    WITH pts AS (
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             CAST(c_custkey % 17999 AS DOUBLE)/100.0 - 89.995 AS lat,
+             CAST(c_custkey % 35999 AS DOUBLE)/100.0 - 179.995 AS lon
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(ROUND(2.0 * 6371008.8 * ASIN(SQRT(LEAST(
+             POW(SIN((34.85 - lat) * PI()/180.0 / 2.0), 2)
+             + COS(lat * PI()/180.0) * COS(34.85 * PI()/180.0)
+               * POW(SIN((-82.4 - lon) * PI()/180.0 / 2.0), 2), 1.0)))) AS BIGINT) AS dist_m
+    FROM pts
+"""
+
+
+@register("haversine_to_hq", _HAVERSINE_ORACLE)
+def haversine_to_hq(spark, sf_dir):
+    """F1: the haversine column expression (pure builtins, whole-stage
+    codegen) vs DuckDB's trig — rounded to whole meters so sub-ULP libm
+    differences cannot flip the hash."""
+    from mergeaddressesandbuildings_spark.operators.dedupe import haversine_m_col
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        ((F.col("c_custkey") % 17999).cast("double") / 100.0 - 89.995).alias("lat"),
+        ((F.col("c_custkey") % 35999).cast("double") / 100.0 - 179.995).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        F.round(
+            haversine_m_col(F.col("lat"), F.col("lon"), F.lit(34.85), F.lit(-82.4))
+        ).cast("long").alias("dist_m"),
+    )
+
+
+_SUFFIXES = ["ST", "AVE", "RD", "DR", "BLVD", "LN", "CT", "HWY"]
+_STREET_ORACLE = """
+    WITH s AS (
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             UPPER(c_name) AS base,
+             CAST(c_custkey % 8 AS INT) AS sfx
+      FROM customer
+    )
+    SELECT c_custkey,
+           base || ' ' || CASE sfx
+             WHEN 0 THEN 'STREET' WHEN 1 THEN 'AVENUE' WHEN 2 THEN 'ROAD'
+             WHEN 3 THEN 'DRIVE' WHEN 4 THEN 'BOULEVARD' WHEN 5 THEN 'LANE'
+             WHEN 6 THEN 'COURT' ELSE 'HIGHWAY' END AS street_norm
+    FROM s
+"""
+
+
+@register("street_normalize", _STREET_ORACLE)
+def street_normalize(spark, sf_dir):
+    """F5: the real street-normalization column chain (trim/collapse/
+    upper + suffix expansion on the last token) applied to synthesized
+    '<name> <suffix>' strings; the oracle computes the expected result
+    analytically."""
+    from mergeaddressesandbuildings_spark.operators.dedupe import street_norm_col
+
+    c = _t(spark, sf_dir, "customer")
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _SUFFIXES]),
+        (F.col("c_custkey") % 8).cast("int") + 1,
+    )
+    raw = F.concat(F.col("c_name"), F.lit("  "), sfx)  # double space: exercises collapse
+    return c.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        street_norm_col(raw).alias("street_norm"),
+    )
+
+
+@register(
+    "mkt_tag_value",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           'segment=' || c_mktsegment AS tag_value
+    FROM customer
+    """,
+)
+def mkt_tag_value(spark, sf_dir):
+    """F10: tag-map build + merge + lookup (create_map, map_concat,
+    element_at) — the oracle checks the looked-up VALUE, which pins the
+    map semantics without relying on cross-engine map hashing."""
+    c = _t(spark, sf_dir, "customer")
+    tags = F.map_concat(
+        F.create_map(F.lit("segment"), F.concat(F.lit("segment="), F.col("c_mktsegment"))),
+        F.create_map(F.lit("src"), F.lit("tpch")),
+    )
+    return c.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.element_at(tags, "segment").alias("tag_value"),
+    )
+
+
+def _spread_sql(v: str) -> str:
+    """DuckDB SQL for the 32→64-bit Morton bit-spread (part1by1),
+    textually identical in structure to cells_sql._spread."""
+    s = f"({v} & 4294967295)"
+    for shift, mask in ((16, 281470681808895), (8, 71777214294589695),
+                       (4, 1085102592571150095), (2, 3689348814741910323),
+                       (1, 6148914691236517205)):
+        s = f"(({s} | ({s} << {shift})) & {mask})"
+    return s
+
+
+_MORTON_ORACLE = f"""
+    WITH pts AS (
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             CAST(c_custkey % 17999 AS DOUBLE)/100.0 - 89.995 AS lat,
+             CAST(c_custkey % 35999 AS DOUBLE)/100.0 - 179.995 AS lon
+      FROM customer
+    ), xy AS (
+      SELECT c_custkey,
+        LEAST(GREATEST(CAST(FLOOR((lon + 180.0)/360.0 * 4096) AS BIGINT), 0), 4095) AS x,
+        LEAST(GREATEST(CAST(FLOOR((lat + 90.0)/180.0 * 4096) AS BIGINT), 0), 4095) AS y
+      FROM pts
+    )
+    SELECT c_custkey,
+           (16777216 | {_spread_sql('x')} | ({_spread_sql('y')} << 1)) AS cell
+    FROM xy
+"""
+
+
+@register("morton_cells", _MORTON_ORACLE)
+def morton_cells(spark, sf_dir):
+    """T1: the level-12 Morton cell encode as pure column expressions,
+    bit-for-bit against an independent DuckDB implementation of the
+    same spread/interleave."""
+    from mergeaddressesandbuildings_spark.functions import cells_sql
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        ((F.col("c_custkey") % 17999).cast("double") / 100.0 - 89.995).alias("lat"),
+        ((F.col("c_custkey") % 35999).cast("double") / 100.0 - 179.995).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        cells_sql.cell_expr(F.col("lat"), F.col("lon"), 12).alias("cell"),
+    )
