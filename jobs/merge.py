@@ -27,8 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages-count", type=int, default=20_000)
-    ap.add_argument("--pages-path", default=None, help="read pages parquet instead of generating")
-    ap.add_argument("--existing-path", default=None, help="read existing-OSM parquet instead of generating")
+    ap.add_argument("--pages-path", default=None, help="read pages table instead of generating")
+    ap.add_argument("--existing-path", default=None, help="read existing-OSM table instead of generating")
+    ap.add_argument("--format", default="parquet",
+                    help="input table format: parquet (default) or iceberg (needs runtime jars; paths are then catalog identifiers)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--master", default=None)
     ap.add_argument("--level", type=int, default=None)
@@ -49,14 +51,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.monotonic()
+    from mergeaddressesandbuildings_spark.sources import catalog
+
     if args.pages_path:
-        pages = spark.read.parquet(args.pages_path)
+        pages = catalog.read_table(spark, args.pages_path, args.format)
     else:
         pages = pg.pages_df(spark, args.pages_count)
     if args.no_existing:
         existing = None
     elif args.existing_path:
-        existing = spark.read.parquet(args.existing_path)
+        existing = catalog.read_table(spark, args.existing_path, args.format)
     else:
         existing = pg.existing_osm_df(spark, args.pages_count)
 

@@ -54,6 +54,7 @@ def run_merge(
     knn_cutoff_m: float = config.KNN_CUTOFF_M,
     salt_threshold: int = config.SALT_THRESHOLD,
     broadcast_max: int = config.BROADCAST_BUILDINGS_MAX,
+    county_ring: tuple | None = None,
 ) -> MergeResult:
     # parquet splitting is SIZE-based; page html is small but extraction
     # is CPU-heavy per row, so a compact fixture scan yields far fewer
@@ -72,6 +73,17 @@ def run_merge(
     records = records.persist(StorageLevel.MEMORY_AND_DISK)
 
     addresses, new_buildings = extract.split_records(records)
+
+    if county_ring is not None:
+        # P3: drop elements outside the county polygon (reference
+        # behavior) — bbox pushdown + exact PIP refine
+        from mergeaddressesandbuildings_spark.operators import boundary
+        rlat, rlon = county_ring
+        addresses = boundary.filter_in_boundary(addresses, rlat, rlon)
+        new_buildings = boundary.filter_in_boundary(
+            new_buildings, rlat, rlon,
+            lat_col="centroid_lat", lon_col="centroid_lon",
+        )
 
     if existing_osm is not None:
         ex_nodes, ex_ways = extract.existing_to_tables(existing_osm, level=level)
