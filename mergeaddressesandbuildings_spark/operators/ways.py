@@ -1,0 +1,105 @@
+"""J7: way → node resolution join (SURVEY.md §2.3 J7) — materialize
+building rings from OSM (nodes, ways) tables so real `.osm` input
+flows into the same merge pipeline as extracted web-page records.
+
+Spark shape: ``posexplode(node_refs)`` keeps each ref's position, an
+equi-join on node id attaches coordinates, and an ordered
+``array_agg`` (sorted by position inside the group) rebuilds the ring —
+all shuffles are on the node-id / way-id keys, no per-row Python. The
+ring-derived columns (bbox, centroid, area, cell cover) are then
+computed by one Arrow pass sharing the extraction kernels, yielding
+rows in the engine's buildings schema.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from mergeaddressesandbuildings_spark import config
+from mergeaddressesandbuildings_spark.functions import cells, geom
+
+
+def resolve_rings(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+    """ways(id, node_refs, tags) + nodes(id, lat, lon) →
+    (id, tags, ring_lats, ring_lons) with vertices in ref order.
+
+    Ways referencing a missing node are DROPPED (count them upstream if
+    needed) — a partial ring is not a polygon.
+    """
+    refs = ways.select(
+        F.col("id").alias("way_id"), "tags",
+        F.posexplode("node_refs").alias("pos", "node_id"),
+        F.size("node_refs").alias("n_refs"),
+    )
+    joined = refs.join(
+        nodes.select(F.col("id").alias("node_id"), "lat", "lon"), "node_id"
+    )
+    return (
+        joined.groupBy("way_id", "n_refs")
+        .agg(
+            F.first("tags").alias("tags"),
+            F.sort_array(
+                F.collect_list(F.struct("pos", "lat", "lon"))
+            ).alias("_ordered"),
+        )
+        .filter(F.size("_ordered") == F.col("n_refs"))  # drop partial rings
+        .select(
+            F.col("way_id").alias("id"),
+            "tags",
+            F.transform("_ordered", lambda s: s["lat"]).alias("ring_lats"),
+            F.transform("_ordered", lambda s: s["lon"]).alias("ring_lons"),
+        )
+    )
+
+
+def rings_to_buildings(rings: DataFrame,
+                       level: int = config.CELL_LEVEL) -> DataFrame:
+    """Ring table → the engine's buildings schema (bbox, centroid,
+    shoelace area, Morton cell cover) via one Arrow pass using the same
+    numpy kernels as web-page extraction — bit-identical derived values
+    regardless of which source produced the ring."""
+    schema = (
+        "building_id long, tags map<string,string>, "
+        "ring_lats array<double>, ring_lons array<double>, "
+        "min_lat double, min_lon double, max_lat double, max_lon double, "
+        "centroid_lat double, centroid_lon double, area_m2 double, "
+        "cell long, cells array<long>"
+    )
+
+    def derive(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for row in pdf.itertuples(index=False):
+                rlat = np.asarray(row.ring_lats, dtype=np.float64)
+                rlon = np.asarray(row.ring_lons, dtype=np.float64)
+                if len(rlat) < 4:
+                    continue
+                min_lat, min_lon, max_lat, max_lon = geom.ring_bbox(rlat, rlon)
+                clat, clon = geom.ring_centroid(rlat, rlon)
+                cover = cells.cover_bbox(
+                    np.array([min_lat]), np.array([min_lon]),
+                    np.array([max_lat]), np.array([max_lon]), level,
+                )[0]
+                out.append({
+                    "building_id": int(row.id),
+                    "tags": row.tags,
+                    "ring_lats": rlat.tolist(),
+                    "ring_lons": rlon.tolist(),
+                    "min_lat": min_lat, "min_lon": min_lon,
+                    "max_lat": max_lat, "max_lon": max_lon,
+                    "centroid_lat": clat, "centroid_lon": clon,
+                    "area_m2": geom.ring_area_m2(rlat, rlon),
+                    "cell": int(cells.encode(
+                        np.array([clat]), np.array([clon]), level)[0]),
+                    "cells": [int(c) for c in cover],
+                })
+            if out:
+                yield pd.DataFrame(out)
+
+    return rings.mapInPandas(derive, schema=schema)

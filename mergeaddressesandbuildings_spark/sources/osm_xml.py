@@ -1,0 +1,103 @@
+"""S2: OSM XML reader (SURVEY.md §2.1 S2) — the reference's native
+input format, so a user of the reference can bring their existing
+`.osm` files to this engine unchanged.
+
+Spark shape: `.osm` files are read whole via the binaryFile source
+(one task per file — counties are file-sized units in the reference's
+workflow; for planet-scale PBF you would pre-split, which is out of
+scope per SURVEY §2.1) and parsed with xml.etree inside `mapInPandas`,
+emitting three flat tables:
+
+    nodes(id, lat, lon, tags)
+    ways(id, node_refs, tags)
+    relations(id, member_refs, member_roles, tags)
+
+Ring materialization (J7) lives in operators/ways.py.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+NODES_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("lat", T.DoubleType(), False),
+    T.StructField("lon", T.DoubleType(), False),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType()), False),
+])
+
+WAYS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("node_refs", T.ArrayType(T.LongType()), False),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType()), False),
+])
+
+RELATIONS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("member_refs", T.ArrayType(T.LongType()), False),
+    T.StructField("member_roles", T.ArrayType(T.StringType()), False),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType()), False),
+])
+
+
+def _tags(elem) -> dict:
+    return {t.get("k"): t.get("v") for t in elem.findall("tag")}
+
+
+def _parse(content: bytes):
+    root = ET.fromstring(content)
+    nodes, ways, rels = [], [], []
+    for n in root.findall("node"):
+        nodes.append({
+            "id": int(n.get("id")),
+            "lat": float(n.get("lat")),
+            "lon": float(n.get("lon")),
+            "tags": _tags(n),
+        })
+    for w in root.findall("way"):
+        ways.append({
+            "id": int(w.get("id")),
+            "node_refs": [int(nd.get("ref")) for nd in w.findall("nd")],
+            "tags": _tags(w),
+        })
+    for r in root.findall("relation"):
+        members = r.findall("member")
+        rels.append({
+            "id": int(r.get("id")),
+            "member_refs": [int(m.get("ref")) for m in members],
+            "member_roles": [m.get("role") or "" for m in members],
+            "tags": _tags(r),
+        })
+    return nodes, ways, rels
+
+
+def _reader(which: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                parts = _parse(bytes(content))
+                if parts[which]:
+                    yield pd.DataFrame(parts[which])
+    return run
+
+
+def _read(spark: SparkSession, path: str, which: int, schema) -> DataFrame:
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(_reader(which), schema=schema)
+
+
+def read_nodes(spark: SparkSession, path: str) -> DataFrame:
+    return _read(spark, path, 0, NODES_SCHEMA)
+
+
+def read_ways(spark: SparkSession, path: str) -> DataFrame:
+    return _read(spark, path, 1, WAYS_SCHEMA)
+
+
+def read_relations(spark: SparkSession, path: str) -> DataFrame:
+    return _read(spark, path, 2, RELATIONS_SCHEMA)

@@ -1,0 +1,79 @@
+"""S2 OSM XML reader + J7 way→node resolution: a small .osm file flows
+into the engine's buildings schema with the same derived values the
+extraction kernels produce."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mergeaddressesandbuildings_spark.functions import cells, geom
+from mergeaddressesandbuildings_spark.operators import ways as W
+from mergeaddressesandbuildings_spark.sources import osm_xml
+
+OSM = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6" generator="test">
+  <node id="1" lat="34.800" lon="-82.400"><tag k="addr:housenumber" v="12"/><tag k="addr:street" v="Main St"/></node>
+  <node id="2" lat="34.800" lon="-82.399"/>
+  <node id="3" lat="34.801" lon="-82.399"/>
+  <node id="4" lat="34.801" lon="-82.400"/>
+  <node id="5" lat="34.800" lon="-82.400"/>
+  <way id="100">
+    <nd ref="2"/><nd ref="3"/><nd ref="4"/><nd ref="5"/><nd ref="2"/>
+    <tag k="building" v="house"/>
+  </way>
+  <way id="101">
+    <nd ref="2"/><nd ref="999"/><nd ref="4"/><nd ref="2"/>
+    <tag k="building" v="shed"/>
+  </way>
+  <relation id="200">
+    <member type="way" ref="100" role="outer"/>
+    <tag k="type" v="multipolygon"/>
+  </relation>
+</osm>
+"""
+
+
+def _write(tmp_path):
+    p = tmp_path / "county.osm"
+    p.write_text(OSM)
+    return str(p)
+
+
+def test_read_tables(spark, tmp_path):
+    path = _write(tmp_path)
+    nodes = osm_xml.read_nodes(spark, path)
+    assert nodes.count() == 5
+    n1 = nodes.filter("id = 1").collect()[0]
+    assert n1["tags"]["addr:housenumber"] == "12"
+    w = osm_xml.read_ways(spark, path).filter("id = 100").collect()[0]
+    assert w["node_refs"] == [2, 3, 4, 5, 2]
+    assert w["tags"]["building"] == "house"
+    r = osm_xml.read_relations(spark, path).collect()[0]
+    assert r["member_refs"] == [100] and r["member_roles"] == ["outer"]
+
+
+def test_resolve_rings_orders_and_drops_partial(spark, tmp_path):
+    path = _write(tmp_path)
+    nodes = osm_xml.read_nodes(spark, path)
+    ways = osm_xml.read_ways(spark, path)
+    rings = {r["id"]: r for r in W.resolve_rings(nodes, ways).collect()}
+    # way 101 references missing node 999 -> dropped
+    assert set(rings) == {100}
+    r = rings[100]
+    assert r["ring_lats"] == [34.800, 34.801, 34.801, 34.800, 34.800]
+    assert r["ring_lons"] == [-82.399, -82.399, -82.400, -82.400, -82.399]
+
+
+def test_rings_to_buildings_matches_kernels(spark, tmp_path):
+    path = _write(tmp_path)
+    nodes = osm_xml.read_nodes(spark, path)
+    ways = osm_xml.read_ways(spark, path)
+    b = W.rings_to_buildings(W.resolve_rings(nodes, ways)).collect()[0]
+    rlat = np.asarray(b["ring_lats"])
+    rlon = np.asarray(b["ring_lons"])
+    assert (b["min_lat"], b["min_lon"], b["max_lat"], b["max_lon"]) == geom.ring_bbox(rlat, rlon)
+    clat, clon = geom.ring_centroid(rlat, rlon)
+    assert (b["centroid_lat"], b["centroid_lon"]) == (clat, clon)
+    assert b["area_m2"] == geom.ring_area_m2(rlat, rlon)
+    assert b["cell"] == int(cells.encode(np.array([clat]), np.array([clon]))[0])
+    assert len(b["cells"]) >= 1
