@@ -26,6 +26,10 @@ HEADLINE = [
     "doc_exact_dedup",
     "ann_cosine_topk",
     "minhash_lsh_pairs",
+    "morton_cells",
+    "broadcast_nation_join",
+    "street_normalize",
+    "top_revenue_orders",
 ]
 
 

@@ -97,12 +97,17 @@ def main() -> None:
     # one action for fingerprint + row count + tile count (the
     # fingerprint is order-independent, so parallelism-invariance across
     # the N vs 4N scaling runs is checkable from this line alone)
-    frow = assignments.agg(
+    frow = assignments.groupBy().agg(
         F.expr("bit_xor(xxhash64(addr_id, coalesce(building_id, -1), method, decision, tile))").alias("fp"),
         F.count("*").alias("n"),
         F.countDistinct("tile").alias("nt"),
     ).collect()[0]
     fingerprint, n_assign, n_tiles = frow["fp"], int(frow["n"]), int(frow["nt"])
+    # A3 run metrics: output-set sizes (reference prints these at end)
+    decisions = {
+        r["decision"]: int(r["n"])
+        for r in assignments.groupBy("decision").agg(F.count("*").alias("n")).collect()
+    }
     t_compute = time.monotonic() - t0 - t_load
 
     write_stats = None
@@ -123,6 +128,7 @@ def main() -> None:
         "n_pages": n_pages,
         "n_assignments": n_assign,
         "n_tiles": n_tiles,
+        "decisions": decisions,
         "fingerprint": int(fingerprint),
         "wall_s": round(wall, 2),
         "pages_per_sec": round(n_pages / wall, 1),
