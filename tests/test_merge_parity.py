@@ -115,3 +115,21 @@ def test_no_id_collisions(engine):
     assert engine.addresses.select("addr_id").distinct().count() == a
     b = engine.buildings.count()
     assert engine.buildings.select("building_id").distinct().count() == b
+
+
+def test_pairjoin_strategy_full_pipeline_parity(spark, golden):
+    """The corpus-scale shuffle strategy (broadcast disabled →
+    fine-cell pair-join) reproduces the §8 oracle exactly too — the
+    physical strategy never changes the merge decisions."""
+    p = pg.pages_df(spark, N_PAGES, partitions=4)
+    e = pg.existing_osm_df(spark, N_PAGES, partitions=4)
+    res = run_merge(spark, p, e, broadcast_max=0)
+    got = {
+        r["addr_id"]: (r["building_id"], r["method"], r["decision"])
+        for r in res.assignments.collect()
+    }
+    want = {
+        aid: (r["building_id"], r["method"], r["decision"])
+        for aid, r in golden["assignments"].items()
+    }
+    assert got == want
