@@ -160,15 +160,24 @@ def cover_bbox(
     """
     x0, y0 = lonlat_to_xy(np.asarray(min_lat), np.asarray(min_lon), level)
     x1, y1 = lonlat_to_xy(np.asarray(max_lat), np.asarray(max_lon), level)
-    out: list[np.ndarray] = []
-    for i in range(len(x0)):
+    # fast path: bboxes spanning exactly one cell (the overwhelmingly
+    # common case at building sizes) are encoded in ONE vectorized
+    # pass; only multi-cell rows take the per-row loop
+    single = (x0 == x1) & (y0 == y1)
+    out: list[np.ndarray] = [None] * len(x0)  # type: ignore[list-item]
+    if single.any():
+        si = np.flatnonzero(single)
+        enc = xy_to_cell(x0[si], y0[si], level)
+        for k, i in enumerate(si):
+            out[i] = enc[k : k + 1]
+    for i in np.flatnonzero(~single):
         xs = np.arange(x0[i], x1[i] + 1, dtype=np.int64)
         ys = np.arange(y0[i], y1[i] + 1, dtype=np.int64)
         if len(xs) * len(ys) > max_cells_per_row:
             xs = np.unique(np.linspace(x0[i], x1[i], 8).astype(np.int64))
             ys = np.unique(np.linspace(y0[i], y1[i], 8).astype(np.int64))
         gx, gy = np.meshgrid(xs, ys)
-        out.append(xy_to_cell(gx.ravel(), gy.ravel(), level))
+        out[i] = xy_to_cell(gx.ravel(), gy.ravel(), level)
     return out
 
 

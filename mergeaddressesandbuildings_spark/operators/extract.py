@@ -81,6 +81,7 @@ def latest_capture(pages: DataFrame) -> DataFrame:
 
 def _extract_batch(pdf: pd.DataFrame, level: int) -> pd.DataFrame:
     rows: list[dict] = []
+    bld_rings: list[tuple[np.ndarray, np.ndarray]] = []  # row-order ring arrays
     for url, html in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
         for rec in textx.extract_geo_records(bytes(html), strict=False):
             idx = rec["record_idx"]
@@ -106,8 +107,13 @@ def _extract_batch(pdf: pd.DataFrame, level: int) -> pd.DataFrame:
                 if len(ring) < 4:
                     continue
                 rlat, rlon = ring[:, 0], ring[:, 1]
-                min_lat, min_lon, max_lat, max_lon = geom.ring_bbox(rlat, rlon)
+                # bbox is computed BATCHED after the loop (min/max are
+                # order-independent → bit-identical to geom.ring_bbox);
+                # centroid/area stay per-ring: np.mean/np.sum use
+                # pairwise summation whose grouping the batched
+                # reduceat would not reproduce bit-for-bit
                 clat, clon = geom.ring_centroid(rlat, rlon)
+                bld_rings.append((rlat, rlon))
                 rows.append(
                     {
                         "kind": "building",
@@ -117,10 +123,6 @@ def _extract_batch(pdf: pd.DataFrame, level: int) -> pd.DataFrame:
                         "ring_lats": rlat.tolist(),
                         "ring_lons": rlon.tolist(),
                         "tags": rec.get("tags") or {},
-                        "min_lat": min_lat,
-                        "min_lon": min_lon,
-                        "max_lat": max_lat,
-                        "max_lon": max_lon,
                         "centroid_lat": clat,
                         "centroid_lon": clon,
                         "area_m2": geom.ring_area_m2(rlat, rlon),
@@ -129,6 +131,16 @@ def _extract_batch(pdf: pd.DataFrame, level: int) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=_COLS)
     if out.empty:
         return out
+    if bld_rings:
+        flat_lat, flat_lon, offsets = geom.flatten_rings(
+            [r[0] for r in bld_rings], [r[1] for r in bld_rings]
+        )
+        starts = offsets[:-1]
+        bmask = (out["kind"] == "building").to_numpy()
+        out.loc[bmask, "min_lat"] = np.minimum.reduceat(flat_lat, starts)
+        out.loc[bmask, "min_lon"] = np.minimum.reduceat(flat_lon, starts)
+        out.loc[bmask, "max_lat"] = np.maximum.reduceat(flat_lat, starts)
+        out.loc[bmask, "max_lon"] = np.maximum.reduceat(flat_lon, starts)
     # missing keys surface as NaN; Arrow needs None for array/map columns
     for col in ("ring_lats", "ring_lons", "tags", "cells"):
         out[col] = out[col].astype(object).where(out[col].notna(), None)
