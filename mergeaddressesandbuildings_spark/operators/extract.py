@@ -252,14 +252,21 @@ def existing_to_tables(existing: DataFrame, level: int = config.CELL_LEVEL) -> t
             if b.empty:
                 yield _ways_enriched_empty()
                 continue
-            mins_lat, mins_lon, maxs_lat, maxs_lon = [], [], [], []
+            # bbox batched via reduceat (bit-identical — min/max are
+            # order-independent); centroid/area stay per-ring to keep
+            # np.mean/np.sum pairwise-summation bits (see _extract_batch)
+            flat_lat, flat_lon, offsets = geom.flatten_rings(
+                list(b["ring_lats"]), list(b["ring_lons"])
+            )
+            starts = offsets[:-1]
+            mins_lat = np.minimum.reduceat(flat_lat, starts)
+            mins_lon = np.minimum.reduceat(flat_lon, starts)
+            maxs_lat = np.maximum.reduceat(flat_lat, starts)
+            maxs_lon = np.maximum.reduceat(flat_lon, starts)
             clats, clons, areas = [], [], []
             for la, lo in zip(b["ring_lats"], b["ring_lons"]):
                 la = np.asarray(la, dtype=np.float64)
                 lo = np.asarray(lo, dtype=np.float64)
-                bb = geom.ring_bbox(la, lo)
-                mins_lat.append(bb[0]); mins_lon.append(bb[1])
-                maxs_lat.append(bb[2]); maxs_lon.append(bb[3])
                 c = geom.ring_centroid(la, lo)
                 clats.append(c[0]); clons.append(c[1])
                 areas.append(geom.ring_area_m2(la, lo))
@@ -268,8 +275,7 @@ def existing_to_tables(existing: DataFrame, level: int = config.CELL_LEVEL) -> t
                 centroid_lat=clats, centroid_lon=clons, area_m2=areas,
             )
             covers = cells.cover_bbox(
-                np.asarray(mins_lat), np.asarray(mins_lon),
-                np.asarray(maxs_lat), np.asarray(maxs_lon), level,
+                mins_lat, mins_lon, maxs_lat, maxs_lon, level,
             )
             b["cells"] = [c.tolist() for c in covers]
             b["existing"] = True
