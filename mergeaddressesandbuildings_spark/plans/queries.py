@@ -952,3 +952,93 @@ def morton_cells(spark, sf_dir):
         "c_custkey",
         cells_sql.cell_expr(F.col("lat"), F.col("lon"), 12).alias("cell"),
     )
+
+
+# ---------------------------------------------------------------------
+# raster <-> vector (north_rule; operators/raster.py) — level-6 grid so
+# multiple derived points share cells at sf0.01
+# ---------------------------------------------------------------------
+
+_RASTER_PTS_SQL = """
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             CAST(c_custkey % 17999 AS DOUBLE)/100.0 - 89.995 AS lat,
+             CAST(c_custkey % 35999 AS DOUBLE)/100.0 - 179.995 AS lon
+      FROM customer
+"""
+
+_RASTER_XY_SQL = f"""
+    WITH pts AS ({_RASTER_PTS_SQL}),
+    xy AS (
+      SELECT c_custkey,
+        LEAST(GREATEST(CAST(FLOOR((lon + 180.0)/360.0 * 64) AS BIGINT), 0), 63) AS x,
+        LEAST(GREATEST(CAST(FLOOR((lat + 90.0)/180.0 * 64) AS BIGINT), 0), 63) AS y
+      FROM pts
+    ),
+    grid AS (
+      SELECT x, y, (4096 | {{sx}} | ({{sy}} << 1)) AS cell,
+             CAST(COUNT(*) AS DOUBLE) AS val
+      FROM xy GROUP BY x, y
+    )
+"""
+
+
+def _raster_grid_sql() -> str:
+    return _RASTER_XY_SQL.format(sx=_spread_sql("x"), sy=_spread_sql("y"))
+
+
+def _customer_points(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        ((F.col("c_custkey") % 17999).cast("double") / 100.0 - 89.995).alias("lat"),
+        ((F.col("c_custkey") % 35999).cast("double") / 100.0 - 179.995).alias("lon"),
+    )
+
+
+@register(
+    "rasterize_customers",
+    _raster_grid_sql() + "SELECT cell, x, y, val FROM grid",
+)
+def rasterize_customers(spark, sf_dir):
+    """raster direction: points → level-6 Morton grid of counts."""
+    from mergeaddressesandbuildings_spark.operators import raster
+
+    return raster.rasterize_points(_customer_points(spark, sf_dir), level=6)
+
+
+@register(
+    "raster_vector_hotcells",
+    _raster_grid_sql() + """
+    SELECT cell,
+           CAST(y AS DOUBLE)/64*180.0 - 90.0        AS min_lat,
+           CAST(x AS DOUBLE)/64*360.0 - 180.0       AS min_lon,
+           CAST(y + 1 AS DOUBLE)/64*180.0 - 90.0    AS max_lat,
+           CAST(x + 1 AS DOUBLE)/64*360.0 - 180.0   AS max_lon,
+           val
+    FROM grid WHERE val >= 3.0
+    """,
+)
+def raster_vector_hotcells(spark, sf_dir):
+    """vector direction: grid cells over threshold → geographic
+    rectangles, every vertex checkable by independent SQL arithmetic."""
+    from mergeaddressesandbuildings_spark.operators import raster
+
+    grid = raster.rasterize_points(_customer_points(spark, sf_dir), level=6)
+    return raster.raster_to_vector(grid, threshold=3.0, level=6)
+
+
+@register(
+    "raster_sample_customers",
+    _raster_grid_sql() + """
+    SELECT xy.c_custkey, grid.val
+    FROM xy JOIN grid ON xy.x = grid.x AND xy.y = grid.y
+    """,
+)
+def raster_sample_customers(spark, sf_dir):
+    """sampling direction: each point reads the raster value at its
+    cell (cell-key equi-join)."""
+    from mergeaddressesandbuildings_spark.operators import raster
+
+    pts = _customer_points(spark, sf_dir)
+    grid = raster.rasterize_points(pts, level=6)
+    return raster.sample_raster(pts, grid, level=6).select("c_custkey", "val")
