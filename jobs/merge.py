@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--no-existing", action="store_true")
     ap.add_argument("--n-batches", type=int, default=4)
     ap.add_argument("--skip-write", action="store_true")
+    ap.add_argument("--fail-after-batches", type=int, default=None,
+                    help="test hook: crash after N sink batches to exercise resume")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -116,6 +118,7 @@ def main() -> None:
             assignments, args.out,
             key_cols=["addr_id", "method", "decision"],
             n_batches=args.n_batches,
+            fail_after_batches=args.fail_after_batches,
         )
 
     wall = time.monotonic() - t0

@@ -103,3 +103,61 @@ def rings_to_buildings(rings: DataFrame,
                 yield pd.DataFrame(out)
 
     return rings.mapInPandas(derive, schema=schema)
+
+
+def assemble_boundary_ring(nodes: DataFrame, ways: DataFrame,
+                           relations: DataFrame, rel_id: int,
+                           role: str = "outer"):
+    """Assemble a boundary relation's member ways into one closed ring
+    (reference behavior: the county boundary arrives as a relation of
+    ordered-or-not way segments).
+
+    A boundary is ONE small object, so the member polylines are
+    collected to the driver and stitched there by endpoint matching
+    (each segment joined forward or reversed); the result feeds
+    operators/boundary.filter_in_boundary as plain numpy arrays.
+    Raises if the members do not close into a single ring.
+    """
+    rel = relations.filter(F.col("id") == rel_id).collect()
+    if not rel:
+        raise ValueError(f"relation {rel_id} not found")
+    members = [
+        m for m, r in zip(rel[0]["member_refs"], rel[0]["member_roles"])
+        if r == role
+    ]
+    if not members:
+        raise ValueError(f"relation {rel_id} has no '{role}' members")
+
+    segs = {}
+    rows = resolve_rings(
+        nodes, ways.filter(F.col("id").isin([int(m) for m in members]))
+    ).collect()
+    for r in rows:
+        segs[int(r["id"])] = (
+            np.asarray(r["ring_lats"], dtype=np.float64),
+            np.asarray(r["ring_lons"], dtype=np.float64),
+        )
+    missing = [m for m in members if int(m) not in segs]
+    if missing:
+        raise ValueError(f"member ways unresolved (missing nodes?): {missing}")
+
+    first = segs.pop(int(members[0]))
+    chain_lat, chain_lon = list(first[0]), list(first[1])
+    while segs:
+        end = (chain_lat[-1], chain_lon[-1])
+        for wid, (sla, slo) in list(segs.items()):
+            if (sla[0], slo[0]) == end:
+                chain_lat.extend(sla[1:]); chain_lon.extend(slo[1:])
+            elif (sla[-1], slo[-1]) == end:
+                chain_lat.extend(sla[-2::-1]); chain_lon.extend(slo[-2::-1])
+            else:
+                continue
+            del segs[wid]
+            break
+        else:
+            raise ValueError(
+                f"boundary does not chain: open end {end}, remaining {sorted(segs)}"
+            )
+    if (chain_lat[0], chain_lon[0]) != (chain_lat[-1], chain_lon[-1]):
+        raise ValueError("assembled boundary is not closed")
+    return np.asarray(chain_lat), np.asarray(chain_lon)

@@ -77,3 +77,43 @@ def test_rings_to_buildings_matches_kernels(spark, tmp_path):
     assert b["area_m2"] == geom.ring_area_m2(rlat, rlon)
     assert b["cell"] == int(cells.encode(np.array([clat]), np.array([clon]))[0])
     assert len(b["cells"]) >= 1
+
+
+BOUNDARY_OSM = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6">
+  <node id="10" lat="34.0" lon="-82.0"/>
+  <node id="11" lat="34.0" lon="-81.0"/>
+  <node id="12" lat="35.0" lon="-81.0"/>
+  <node id="13" lat="35.0" lon="-82.0"/>
+  <way id="301"><nd ref="10"/><nd ref="11"/><nd ref="12"/></way>
+  <way id="302"><nd ref="13"/><nd ref="12"/></way>
+  <way id="303"><nd ref="13"/><nd ref="10"/></way>
+  <relation id="400">
+    <member type="way" ref="301" role="outer"/>
+    <member type="way" ref="302" role="outer"/>
+    <member type="way" ref="303" role="outer"/>
+    <tag k="type" v="boundary"/>
+  </relation>
+</osm>
+"""
+
+
+def test_assemble_boundary_ring(spark, tmp_path):
+    import numpy as np
+    from mergeaddressesandbuildings_spark.operators import boundary
+
+    p = tmp_path / "county_boundary.osm"
+    p.write_text(BOUNDARY_OSM)
+    nodes = osm_xml.read_nodes(spark, str(p))
+    ways_df = osm_xml.read_ways(spark, str(p))
+    rels = osm_xml.read_relations(spark, str(p))
+    rlat, rlon = W.assemble_boundary_ring(nodes, ways_df, rels, 400)
+    # closed square: way 302 joined reversed, 5 vertices total
+    assert (rlat[0], rlon[0]) == (rlat[-1], rlon[-1])
+    assert len(rlat) == 5
+    # PIP through the boundary filter: inside point kept, outside dropped
+    pts = spark.createDataFrame(
+        [(1, 34.5, -81.5), (2, 36.0, -81.5)], "id long, lat double, lon double"
+    )
+    kept = [r["id"] for r in boundary.filter_in_boundary(pts, rlat, rlon).collect()]
+    assert kept == [1]
