@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--pages-count", type=int, default=20_000)
     ap.add_argument("--pages-path", default=None, help="read pages table instead of generating")
     ap.add_argument("--existing-path", default=None, help="read existing-OSM table instead of generating")
+    ap.add_argument("--existing-osm-xml", default=None,
+                    help="read existing-OSM state from .osm XML files (reference's native format)")
     ap.add_argument("--format", default="parquet",
                     help="input table format: parquet (default) or iceberg (needs runtime jars; paths are then catalog identifiers)")
     ap.add_argument("--out", required=True)
@@ -61,6 +63,12 @@ def main() -> None:
         pages = pg.pages_df(spark, args.pages_count)
     if args.no_existing:
         existing = None
+    elif args.existing_osm_xml:
+        from mergeaddressesandbuildings_spark.sources import osm_xml
+        existing = osm_xml.to_existing_table(
+            osm_xml.read_nodes(spark, args.existing_osm_xml),
+            osm_xml.read_ways(spark, args.existing_osm_xml),
+        )
     elif args.existing_path:
         existing = catalog.read_table(spark, args.existing_path, args.format)
     else:

@@ -101,3 +101,35 @@ def read_ways(spark: SparkSession, path: str) -> DataFrame:
 
 def read_relations(spark: SparkSession, path: str) -> DataFrame:
     return _read(spark, path, 2, RELATIONS_SCHEMA)
+
+
+def to_existing_table(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+    """(nodes, ways) → the engine's existing-OSM table
+    (schemas.EXISTING_OSM): every node becomes a ``kind='node'`` row,
+    every resolvable way a ``kind='way'`` row with its materialized
+    ring — so `.osm` state plugs straight into run_merge(existing_osm=…)."""
+    from pyspark.sql import functions as F
+
+    from mergeaddressesandbuildings_spark.operators.ways import resolve_rings
+
+    n = nodes.select(
+        F.col("id").alias("elem_id"),
+        F.lit("node").alias("kind"),
+        "lat", "lon",
+        F.lit(None).cast(
+            "array<struct<lat:double,lon:double>>"
+        ).alias("ring"),
+        "tags",
+    )
+    w = resolve_rings(nodes, ways).select(
+        F.col("id").alias("elem_id"),
+        F.lit("way").alias("kind"),
+        F.lit(None).cast("double").alias("lat"),
+        F.lit(None).cast("double").alias("lon"),
+        F.zip_with(
+            "ring_lats", "ring_lons",
+            lambda la, lo: F.struct(la.alias("lat"), lo.alias("lon")),
+        ).alias("ring"),
+        "tags",
+    )
+    return n.unionByName(w)

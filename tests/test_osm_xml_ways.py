@@ -117,3 +117,23 @@ def test_assemble_boundary_ring(spark, tmp_path):
     )
     kept = [r["id"] for r in boundary.filter_in_boundary(pts, rlat, rlon).collect()]
     assert kept == [1]
+
+
+def test_to_existing_table_feeds_merge(spark, tmp_path):
+    """.osm existing state flows through existing_to_tables into the
+    merge universe (node→address, way→building with materialized ring)."""
+    from mergeaddressesandbuildings_spark.operators import extract
+
+    p = tmp_path / "existing.osm"
+    p.write_text(OSM)
+    existing = osm_xml.to_existing_table(
+        osm_xml.read_nodes(spark, str(p)), osm_xml.read_ways(spark, str(p))
+    )
+    assert existing.filter("kind = 'node'").count() == 5
+    assert existing.filter("kind = 'way'").count() == 1  # way 101 dropped
+    ex_nodes, ex_ways = extract.existing_to_tables(existing)
+    assert ex_nodes.count() == 1  # only node 1 carries addr:housenumber
+    w = ex_ways.collect()[0]
+    assert w["building_id"] == 100
+    assert len(w["ring_lats"]) == 5
+    assert w["area_m2"] > 0 and len(w["cells"]) >= 1
