@@ -43,6 +43,14 @@ def main() -> None:
                       shuffle_partitions=max(CPUS * 2, 16))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warmup: spin up the Python UDF workers + JIT before the first
+    # timed query (excluded from every timing, including the total)
+    def _ident(batches):
+        for b in batches:
+            yield b
+    spark.range(100_000).mapInPandas(_ident, schema="id long") \
+        .write.format("noop").mode("overwrite").save()
+
     per_query: dict[str, float] = {}
     t_all = time.monotonic()
     for name in HEADLINE:
