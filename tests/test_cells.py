@@ -107,3 +107,36 @@ def test_cover_is_small_for_building_sized_bboxes():
     lat0 = np.array([34.85]); lon0 = np.array([-82.4])
     covers = cells.cover_bbox(lat0, lon0, lat0 + 0.0006, lon0 + 0.0006, 12)
     assert 1 <= len(covers[0]) <= 4
+
+
+def test_encode_clips_at_poles_and_antimeridian():
+    """Exact domain edges: lat=±90 / lon=±180 clip into the valid cell
+    range instead of overflowing the coordinate grid (§8.5)."""
+    lat = np.array([90.0, -90.0, 0.0, 0.0, 90.0, -90.0])
+    lon = np.array([0.0, 0.0, 180.0, -180.0, 180.0, -180.0])
+    for lvl in (1, 12, 20):
+        c = cells.encode(lat, lon, lvl)
+        x, y, level = cells.cell_to_xy(c)
+        n = 1 << lvl
+        assert (level == lvl).all()
+        assert (x >= 0).all() and (x <= n - 1).all()
+        assert (y >= 0).all() and (y <= n - 1).all()
+    # lat 90 clips to top row, lat -90 to bottom row
+    x, y, _ = cells.cell_to_xy(cells.encode(lat[:2], lon[:2], 12))
+    assert y[0] == (1 << 12) - 1 and y[1] == 0
+
+
+def test_neighbors_wrap_lon_and_clip_lat():
+    """Neighborhood semantics at the grid edges: longitude wraps
+    (antimeridian continuity), latitude clips (no pole wrap)."""
+    lvl = 8
+    n = 1 << lvl
+    west = cells.encode(np.array([0.0]), np.array([-180.0]), lvl)  # x = 0
+    nb = cells.neighbors(west)[0]
+    xs = cells.cell_to_xy(nb)[0]
+    assert (n - 1) in xs  # wrapped across the antimeridian
+    top = cells.encode(np.array([89.9]), np.array([0.0]), lvl)  # y = n-1
+    nb = cells.neighbors(top)[0]
+    ys = cells.cell_to_xy(nb)[1]
+    assert ys.max() == n - 1  # clipped, never wrapped past the pole
+    assert len(set(nb.tolist())) <= 9
