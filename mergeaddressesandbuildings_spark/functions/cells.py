@@ -107,6 +107,23 @@ def cell_bounds(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, n
     return min_lat, min_lon, max_lat, max_lon
 
 
+def rect_dist_m(plat: np.ndarray, plon: np.ndarray,
+                min_lat: np.ndarray, min_lon: np.ndarray,
+                max_lat: np.ndarray, max_lon: np.ndarray) -> np.ndarray:
+    """Lower-bound distance (meters) from each point to each cell
+    rectangle, under the SAME local-equirectangular metric as the
+    geometry refine kernels — so pruning a cell with
+    ``rect_dist_m > cutoff`` can never drop a building the refine would
+    have accepted."""
+    plat = np.asarray(plat, dtype=np.float64)
+    plon = np.asarray(plon, dtype=np.float64)
+    dlat = np.maximum(np.maximum(min_lat - plat, plat - max_lat), 0.0)
+    dlon = np.maximum(np.maximum(min_lon - plon, plon - max_lon), 0.0)
+    dy = dlat * config.DEG_TO_M
+    dx = dlon * config.DEG_TO_M * np.cos(np.radians(plat))
+    return np.sqrt(dx * dx + dy * dy)
+
+
 def neighbors(cell: np.ndarray) -> np.ndarray:
     """(n, 9) array: each cell's 8 Morton neighbors + itself (T3).
 

@@ -281,9 +281,14 @@ def _knn_pairs(plat, plon, addr_ids, index: BldIndex, cutoff_m: float) -> pd.Dat
     padded-bbox filter → one flattened-edge pair-distance pass."""
     n = len(plat)
     fine = cells.encode(plat, plon, index.level)
-    nb = cells.neighbors(fine)  # (n, 9)
+    nb = cells.neighbors(fine).reshape(-1)  # (n*9,)
     qpt = np.repeat(np.arange(n, dtype=np.int64), 9)
-    pair_pt, pair_bld = index.candidates(nb.reshape(-1), qpt)
+    # prune neighbor cells farther than the cutoff (conservative rect
+    # lower bound under the refine's own metric): typically 1–4 of the
+    # 9 survive, shrinking the candidate lookup proportionally
+    b0, b1, b2, b3 = cells.cell_bounds(nb)
+    near_cell = cells.rect_dist_m(plat[qpt], plon[qpt], b0, b1, b2, b3) <= cutoff_m
+    pair_pt, pair_bld = index.candidates(nb[near_cell], qpt[near_cell])
     if len(pair_pt) == 0:
         return pd.DataFrame(columns=["addr_id", "building_id", "dist_m", "area_m2"])
     # a building cover spanning several neighbor cells yields duplicate
@@ -349,19 +354,28 @@ def _pair_join_candidates(addresses: DataFrame, buildings: DataFrame,
         )
     else:
         # 3×3 fine-neighborhood expansion (valid while cutoff ≤ one fine
-        # cell width — asserted by the caller). Arrow kernel, not an
-        # all-expression explode (janino method-size limit, see below).
+        # cell width — asserted by the caller), pruned to the neighbor
+        # cells actually within the cutoff (conservative rect distance
+        # under the refine's metric — typically 1–4 of 9 survive, which
+        # shrinks the join's probe side proportionally). Arrow kernel,
+        # not an all-expression explode (janino method-size limit).
+        cutoff = knn_cutoff_m
+
         def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for b in batches:
                 if b.empty:
                     continue
-                fine = cells.encode(
-                    b["lat"].to_numpy(np.float64), b["lon"].to_numpy(np.float64),
-                    level,
-                )
-                nb = cells.neighbors(fine)  # (n, 9)
-                rep = b.loc[b.index.repeat(9)].reset_index(drop=True)
-                rep["fcell"] = nb.reshape(-1)
+                plat = b["lat"].to_numpy(np.float64)
+                plon = b["lon"].to_numpy(np.float64)
+                fine = cells.encode(plat, plon, level)
+                nb = cells.neighbors(fine).reshape(-1)  # (n*9,)
+                idx9 = np.repeat(np.arange(len(b)), 9)
+                b0, b1, b2, b3 = cells.cell_bounds(nb)
+                keep = cells.rect_dist_m(
+                    plat[idx9], plon[idx9], b0, b1, b2, b3
+                ) <= cutoff
+                rep = b.iloc[idx9[keep]].reset_index(drop=True)
+                rep["fcell"] = nb[keep]
                 yield rep
 
         a = a.mapInPandas(
