@@ -71,8 +71,21 @@ def main() -> None:
         )
     elif args.existing_path:
         existing = catalog.read_table(spark, args.existing_path, args.format)
+    elif args.pages_path:
+        # pages read from disk with no explicit existing source: merge
+        # against NO existing state — generating fixture existing rows
+        # unrelated to on-disk pages would silently change decisions
+        existing = None
     else:
         existing = pg.existing_osm_df(spark, args.pages_count)
+
+    # 'load' = constructing/reading the input frames (lazy plans +
+    # the generator/scan setup); everything that executes the pipeline
+    # (run_merge's materializations, the flat write, the fingerprint
+    # agg) is 'compute'. pages.count() here doubles as the input-row
+    # metric and charges the input scan to the load phase.
+    n_pages = pages.count()
+    t_load = time.monotonic() - t0
 
     res = run_merge(
         spark, pages, existing,
@@ -83,16 +96,16 @@ def main() -> None:
     # tile membership: join the assignments against the DISTINCT
     # fine-cell → tile map on the cell key (the map is orders of
     # magnitude smaller than the full points universe; AQE broadcasts
-    # it), instead of joining full point rows back by element id.
+    # it), instead of joining full point rows back by element id. The
+    # map was computed once inside run_merge — reuse it.
     from mergeaddressesandbuildings_spark.functions import cells_sql
-    from mergeaddressesandbuildings_spark.operators import tiling
 
-    tm = tiling.tile_map(res.tile_points, level=args.level or config.CELL_LEVEL,
-                         budget=args.budget or config.TILE_MAX_ELEMS)
-    with_tile = res.assignments.withColumn(
-        "_cmax",
-        cells_sql.cell_expr(F.col("lat"), F.col("lon"), config.MAX_CELL_LEVEL),
-    ).join(tm, "_cmax").drop("_cmax")
+    tm = res.tile_map
+    tx, ty = cells_sql.xy_expr(F.col("lat"), F.col("lon"), config.MAX_CELL_LEVEL)
+    with_tile = (
+        res.assignments.withColumn("_x", tx).withColumn("_y", ty)
+        .join(tm, ["_x", "_y"]).drop("_x", "_y")
+    )
     # materialization barrier: write the flat assignments once and plan
     # every downstream action (fingerprint agg, sink batches) against
     # the clean parquet scan instead of re-analyzing the full
@@ -102,8 +115,6 @@ def main() -> None:
     with_tile.write.mode("overwrite").parquet(flat_path)
     assignments = spark.read.parquet(flat_path)
 
-    n_pages = pages.count()
-    t_load = time.monotonic() - t0
     # one action for fingerprint + row count + tile count (the
     # fingerprint is order-independent, so parallelism-invariance across
     # the N vs 4N scaling runs is checkable from this line alone)

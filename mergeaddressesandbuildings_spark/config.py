@@ -23,6 +23,13 @@ SPATIAL_JOIN_STRATEGY = "pairjoin"  # shuffle strategy when not broadcast: "pair
 CELL_LEVEL = 12  # default Morton level: ~9.8 km x 4.9 km cells at equator
 MAX_CELL_LEVEL = 20  # adaptive-split floor
 TILE_MAX_ELEMS = 10_000  # per-tile element budget (engine-chosen*)
+# Max cells a single ring's bbox cover may span (any level). Oversized
+# rings FAIL LOUDLY in both the numpy and SQL cover paths instead of
+# silently losing join candidates (a degenerate county-sized "building"
+# from user .osm input is a data error, not a join key). At the finest
+# cover level in use (16, ~600×300 m cells) this admits footprints up
+# to ~10 km across — far beyond any real building.
+MAX_COVER_CELLS = 1024
 
 # --- skew handling (SURVEY.md §4) ---------------------------------------
 SALT_THRESHOLD = 20_000  # addresses per cell above which the PIP group is salted

@@ -163,20 +163,32 @@ def cover_bbox(
     max_lat: np.ndarray,
     max_lon: np.ndarray,
     level: int = config.CELL_LEVEL,
-    max_cells_per_row: int = 64,
+    max_cells_per_row: int = config.MAX_COVER_CELLS,
 ) -> list[np.ndarray]:
-    """Cell cover of each bbox at ``level`` (T2: polygon cell cover).
+    """COMPLETE cell cover of each bbox at ``level`` (T2: polygon cell
+    cover).
 
     The cover is the full x/y range of cells overlapping the bbox — a
     superset cover is always join-correct (the PIP/kNN refine is exact),
     and building footprints are tiny relative to level-12 cells so the
     cover is 1–4 cells in practice. Returns a list of int64 arrays
-    (ragged). Rows whose range would exceed ``max_cells_per_row`` are
-    truncated to their corner cells' bounding range at a coarser level —
-    not expected with sane inputs; asserted in tests.
+    (ragged). A row whose range would exceed ``max_cells_per_row``
+    raises ``ValueError`` — the SAME validation as the SQL cover path
+    (cells_sql.bbox_cover_cells_expr), so a degenerate oversized ring
+    fails loudly in every join strategy instead of silently losing
+    candidates (tests/test_cells.py::test_cover_bbox_oversized_raises).
     """
     x0, y0 = lonlat_to_xy(np.asarray(min_lat), np.asarray(min_lon), level)
     x1, y1 = lonlat_to_xy(np.asarray(max_lat), np.asarray(max_lon), level)
+    n_cells = (x1 - x0 + 1) * (y1 - y0 + 1)
+    if len(n_cells) and int(n_cells.max()) > max_cells_per_row:
+        bad = int(np.argmax(n_cells))
+        raise ValueError(
+            f"bbox cover of row {bad} spans {int(n_cells[bad])} level-{level} "
+            f"cells (> {max_cells_per_row}): degenerate ring "
+            f"lat[{float(np.asarray(min_lat)[bad])}, {float(np.asarray(max_lat)[bad])}] "
+            f"lon[{float(np.asarray(min_lon)[bad])}, {float(np.asarray(max_lon)[bad])}]"
+        )
     # fast path: bboxes spanning exactly one cell (the overwhelmingly
     # common case at building sizes) are encoded in ONE vectorized
     # pass; only multi-cell rows take the per-row loop
@@ -190,9 +202,6 @@ def cover_bbox(
     for i in np.flatnonzero(~single):
         xs = np.arange(x0[i], x1[i] + 1, dtype=np.int64)
         ys = np.arange(y0[i], y1[i] + 1, dtype=np.int64)
-        if len(xs) * len(ys) > max_cells_per_row:
-            xs = np.unique(np.linspace(x0[i], x1[i], 8).astype(np.int64))
-            ys = np.unique(np.linspace(y0[i], y1[i], 8).astype(np.int64))
         gx, gy = np.meshgrid(xs, ys)
         out[i] = xy_to_cell(gx.ravel(), gy.ravel(), level)
     return out

@@ -63,6 +63,16 @@ def xy_expr(lat: Column, lon: Column, level) -> tuple[Column, Column]:
 def cell_expr(lat: Column, lon: Column, level=config.CELL_LEVEL) -> Column:
     """Point → prefix-coded Morton cell id; identical to cells.encode."""
     x, y = xy_expr(lat, lon, level)
+    return cell_from_xy_expr(x, y, level)
+
+
+def cell_from_xy_expr(x: Column, y: Column, level) -> Column:
+    """(x, y) integer coords → prefix-coded Morton id (the spread +
+    interleave half of cell_expr). Exposed so plans can carry the CHEAP
+    (x, y) pair through big-side joins/filters and evaluate the 60-op
+    spread chain only on small aggregated sides — the level-20 chain
+    inlined per join key per union branch overflowed janino's 64 KB
+    method limit in the tiling stage (operators/tiling.py)."""
     prefix = (
         F.pow(F.lit(4.0), level).cast("long")
         if isinstance(level, Column)
@@ -73,26 +83,50 @@ def cell_expr(lat: Column, lon: Column, level=config.CELL_LEVEL) -> Column:
 
 def bbox_cover_cells_expr(min_lat: Column, min_lon: Column,
                           max_lat: Column, max_lon: Column,
-                          level: int) -> Column:
+                          level: int,
+                          max_cells: int = config.MAX_COVER_CELLS) -> Column:
     """array<long> of ALL level-``level`` cells intersecting the bbox —
     pure column expressions (``sequence`` over the x/y integer ranges,
     cross product via nested ``transform``, then the same spread/encode
     as cell_expr). Used as the candidate join key for J3 building
     dedupe: two overlapping rings always share a bbox-cover cell, and at
-    building sizes the cover is 1–4 cells."""
+    building sizes the cover is 1–4 cells.
+
+    A bbox spanning more than ``max_cells`` cells raises at execution
+    time (``raise_error``) — the SAME validation as the numpy path
+    (cells.cover_bbox), so oversized rings fail loudly in every
+    strategy instead of silently losing candidates.
+
+    The x/y bit-spreads are hoisted into their OWN per-axis transforms
+    (spread once per row/column of the cover, not once per cell): the
+    inner cross-product lambda is three bit-ops, which keeps the
+    generated code far below janino's method-size limits.
+    """
     xlo, ylo = xy_expr(min_lat, min_lon, level)
     xhi, yhi = xy_expr(max_lat, max_lon, level)
     prefix = F.lit(1 << (2 * level))
-    return F.flatten(
+    sxs = F.transform(F.sequence(xlo, xhi), lambda x: _spread(x))
+    sys_ = F.transform(F.sequence(ylo, yhi), lambda y: F.shiftleft(_spread(y), 1))
+    cover = F.flatten(
         F.transform(
-            F.sequence(xlo, xhi),
-            lambda x: F.transform(
-                F.sequence(ylo, yhi),
-                lambda y: prefix.bitwiseOR(_spread(x)).bitwiseOR(
-                    F.shiftleft(_spread(y), 1)
-                ),
+            sxs,
+            lambda sx: F.transform(
+                sys_, lambda sy: prefix.bitwiseOR(sx).bitwiseOR(sy)
             ),
         )
+    )
+    n = (xhi - xlo + 1) * (yhi - ylo + 1)
+    return F.when(n <= F.lit(max_cells), cover).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"bbox cover spans more than {max_cells} level-{level} "
+                      "cells: degenerate ring lat["),
+                min_lat.cast("string"), F.lit(", "), max_lat.cast("string"),
+                F.lit("] lon["),
+                min_lon.cast("string"), F.lit(", "), max_lon.cast("string"),
+                F.lit("]"),
+            )
+        ).cast("array<long>")
     )
 
 

@@ -273,6 +273,82 @@ def segments_intersect(
     return proper | touch
 
 
+def pairs_rings_overlap(
+    pair_a: np.ndarray, pair_b: np.ndarray,
+    a_flat_lat: np.ndarray, a_flat_lon: np.ndarray, a_offsets: np.ndarray,
+    b_flat_lat: np.ndarray, b_flat_lon: np.ndarray, b_offsets: np.ndarray,
+) -> np.ndarray:
+    """Ring-overlap test for candidate pairs in ONE numpy pass (the
+    batched twin of :func:`rings_overlap`, same semantics bit for bit:
+    any edge intersection — proper or collinear-touch — or either
+    ring's first vertex inside the other).
+
+    ``pair_a[p]``/``pair_b[p]`` index rings in the two flattened ring
+    sets. All (edge_a × edge_b) combinations of every pair are expanded
+    into flat index arrays and tested with the same orientation
+    formulas as :func:`segments_intersect`; per-pair ``any`` is a
+    bincount. Used by the J3 building-dedupe refine
+    (operators/dedupe.py) so no Python loop runs per candidate pair.
+    """
+    n_pairs = len(pair_a)
+    if n_pairs == 0:
+        return np.zeros(0, dtype=bool)
+    na = a_offsets[pair_a + 1] - a_offsets[pair_a] - 1  # edges per A ring
+    nb = b_offsets[pair_b + 1] - b_offsets[pair_b] - 1
+    m = na * nb
+    total = int(m.sum())
+    combo_pair = np.repeat(np.arange(n_pairs, dtype=np.int64), m)
+    starts = np.zeros(n_pairs, dtype=np.int64)
+    np.cumsum(m[:-1], out=starts[1:])
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, m)
+    nb_rep = np.repeat(nb, m)
+    ai = local // nb_rep
+    bi = local - ai * nb_rep
+    ea = np.repeat(a_offsets[pair_a], m) + ai
+    eb = np.repeat(b_offsets[pair_b], m) + bi
+
+    ax1, ay1 = a_flat_lon[ea], a_flat_lat[ea]
+    ax2, ay2 = a_flat_lon[ea + 1], a_flat_lat[ea + 1]
+    bx1, by1 = b_flat_lon[eb], b_flat_lat[eb]
+    bx2, by2 = b_flat_lon[eb + 1], b_flat_lat[eb + 1]
+
+    d1 = _orient(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = _orient(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = _orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = _orient(ax1, ay1, ax2, ay2, bx2, by2)
+    proper = (
+        ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    )
+
+    def _on(dx, px, py, qx, qy, rx, ry):
+        return (dx == 0) & (
+            (np.minimum(px, qx) <= rx) & (rx <= np.maximum(px, qx))
+            & (np.minimum(py, qy) <= ry) & (ry <= np.maximum(py, qy))
+        )
+
+    touch = (
+        _on(d1, bx1, by1, bx2, by2, ax1, ay1)
+        | _on(d2, bx1, by1, bx2, by2, ax2, ay2)
+        | _on(d3, ax1, ay1, ax2, ay2, bx1, by1)
+        | _on(d4, ax1, ay1, ax2, ay2, bx2, by2)
+    )
+    edge_hit = (
+        np.bincount(combo_pair, weights=proper | touch, minlength=n_pairs) > 0
+    )
+
+    pidx = np.arange(n_pairs, dtype=np.int64)
+    a0_in_b = pairs_points_in_rings(
+        a_flat_lat[a_offsets[pair_a]], a_flat_lon[a_offsets[pair_a]],
+        pidx, pair_b, b_flat_lat, b_flat_lon, b_offsets,
+    )
+    b0_in_a = pairs_points_in_rings(
+        b_flat_lat[b_offsets[pair_b]], b_flat_lon[b_offsets[pair_b]],
+        pidx, pair_a, a_flat_lat, a_flat_lon, a_offsets,
+    )
+    return edge_hit | a0_in_b | b0_in_a
+
+
 def rings_overlap(
     a_lat: np.ndarray, a_lon: np.ndarray, b_lat: np.ndarray, b_lon: np.ndarray
 ) -> bool:

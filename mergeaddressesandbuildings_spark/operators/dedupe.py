@@ -69,27 +69,27 @@ def dedupe_addresses(addresses: DataFrame, existing_nodes: DataFrame,
 
 
 def _overlap_pairs_kernel(batches):
-    """Exact ring-overlap refine over candidate pairs. Candidates arrive
-    already bbox-filtered and fine-cell co-located (JVM side), so the
-    per-pair loop here touches only genuine near-overlaps — the heavy
-    O(new × existing) candidate generation never reaches Python."""
+    """Exact ring-overlap refine over candidate pairs — ONE flattened
+    numpy pass per Arrow batch (geom.pairs_rings_overlap), no Python
+    loop per pair. Candidates arrive already bbox-filtered and
+    fine-cell co-located (JVM side), so the heavy O(new × existing)
+    candidate generation never reaches Python."""
     for pdf in batches:
         if pdf.empty:
             continue
-        hits: set[int] = set()
-        for row in pdf.itertuples(index=False):
-            bid = int(row.building_id)
-            if bid in hits:
-                continue
-            if geom.rings_overlap(
-                np.asarray(row.ring_lats, dtype=np.float64),
-                np.asarray(row.ring_lons, dtype=np.float64),
-                np.asarray(row.e_ring_lats, dtype=np.float64),
-                np.asarray(row.e_ring_lons, dtype=np.float64),
-            ):
-                hits.add(bid)
-        if hits:
-            yield pd.DataFrame({"building_id": np.fromiter(hits, dtype=np.int64)})
+        a_lat, a_lon, a_off = geom.flatten_rings(
+            pdf["ring_lats"].to_numpy(), pdf["ring_lons"].to_numpy()
+        )
+        b_lat, b_lon, b_off = geom.flatten_rings(
+            pdf["e_ring_lats"].to_numpy(), pdf["e_ring_lons"].to_numpy()
+        )
+        idx = np.arange(len(pdf), dtype=np.int64)
+        hit = geom.pairs_rings_overlap(
+            idx, idx, a_lat, a_lon, a_off, b_lat, b_lon, b_off
+        )
+        if hit.any():
+            ids = np.unique(pdf["building_id"].to_numpy(dtype=np.int64)[hit])
+            yield pd.DataFrame({"building_id": ids})
 
 
 def dedupe_buildings(new_buildings: DataFrame, existing_ways: DataFrame,

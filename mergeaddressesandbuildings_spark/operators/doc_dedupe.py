@@ -3,29 +3,35 @@ exact n-gram Jaccard (driver round spec: deduplication operators as
 first-class components).
 
 Scale design:
-- shingling/hashing is all built-in expressions (xxhash64, transform,
-  explode) — JVM-side, no Python;
+- shingling/hashing is all built-in expressions (hash + transform +
+  explode) — JVM-side, no Python anywhere in this module;
 - MinHash signatures come out of ONE hash aggregate (min of k
   independent hashes per doc — map-side combinable);
 - LSH banding turns candidate generation into an equi-join on
-  (band_id, band_hash): only same-bucket docs ever pair, so the
+  (band_id, band_key): only same-bucket docs ever pair, so the
   quadratic blowup is confined to buckets (the standard banding
   guarantee); candidates are then verified with exact Jaccard via a
   shingle-set semi-join restricted to candidate pairs.
-- SimHash is the one Arrow kernel here (bitwise majority vote over
-  token hashes — not expressible with builtins efficiently).
+- SimHash is 60 conditional-sum aggregates over JVM token hashes (one
+  hash-agg pass, map-side combinable — no Python, no row blowup).
+
+Hash families: ``hash="xxhash64"`` (default — fastest, the 100 TB
+path) or ``hash="sha256"`` (60-bit hex-window hashes both Spark and
+DuckDB can compute bit-identically — functions/ids_sql.py — which
+makes the FULL MinHash→LSH→verify pipeline and SimHash oracle-pairable
+in plans/queries.py; same operator shape, only the hash kernel swaps).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+from pyspark.sql import Column, DataFrame, functions as F
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from mergeaddressesandbuildings_spark.functions import ids_sql
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
+N_SIMHASH_BITS = 60  # sha256 hex-window hash width (ids_sql.sha256_hash60_expr)
+SIMHASH_CHUNK_BITS = 15  # 4 chunks; pigeonhole: hamming<=3 => one chunk equal
 
 
 def shingles(docs: DataFrame, n: int = 2) -> DataFrame:
@@ -41,30 +47,50 @@ def shingles(docs: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
-def minhash_signatures(sh: DataFrame, k: int = N_MINHASH) -> DataFrame:
+def _shingle_hash(j: int, hash: str) -> Column:
+    """j-th independent shingle hash. xxhash64: seeded by a literal
+    prefix. sha256: four 15-hex-char (60-bit) windows per digest, so k=16
+    hashes cost 4 sha256 evaluations per shingle — and DuckDB computes
+    the identical value (see module docstring)."""
+    if hash == "xxhash64":
+        return F.xxhash64(F.concat(F.lit(f"mh{j}|"), F.col("shingle")))
+    a, b = divmod(j, 4)
+    hex64 = F.sha2(
+        F.concat(F.lit(f"mh{a}|"), F.col("shingle")).cast("binary"), 256
+    )
+    return F.conv(F.substring(hex64, 1 + 15 * b, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(sh: DataFrame, k: int = N_MINHASH,
+                       hash: str = "xxhash64") -> DataFrame:
     """(doc_id, sig: array<long>) — k min-hashes per doc in one agg."""
-    mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{j}|"), F.col("shingle")))).alias(f"h{j}")
-        for j in range(k)
-    ]
+    mins = [F.min(_shingle_hash(j, hash)).alias(f"h{j}") for j in range(k)]
     sig = F.array(*[F.col(f"h{j}") for j in range(k)])
     return sh.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """LSH banding: equal band-slice → candidate pair (doc_a < doc_b)."""
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS,
+                        band_key: str = "hash") -> DataFrame:
+    """LSH banding: equal band-slice → candidate pair (doc_a < doc_b).
+
+    ``band_key="hash"`` buckets on xxhash64 of the band slice (compact
+    shuffle key — the scale default); ``band_key="string"`` buckets on
+    the comma-joined slice itself (bit-identical across engines — the
+    oracle-paired mode)."""
     k = N_MINHASH
     rows_per_band = k // n_bands
+
+    def key_of(b: int) -> Column:
+        joined = F.concat_ws(",", F.transform(
+            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+            lambda x: x.cast("string"),
+        ))
+        return F.xxhash64(joined).cast("string") if band_key == "hash" else joined
+
     bands = F.explode(
         F.array(*[
             F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(",", F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ))
-                ).alias("band_hash"),
+                F.lit(b).alias("band_id"), key_of(b).alias("band_hash")
             )
             for b in range(n_bands)
         ])
@@ -122,11 +148,19 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFra
     )
 
 
-def minhash_lsh_dedupe(docs: DataFrame, n: int = 2, threshold: float = 0.6) -> DataFrame:
-    """Full MinHash→LSH→verify pipeline → near-dup pairs above threshold."""
+def minhash_lsh_dedupe(docs: DataFrame, n: int = 2, threshold: float = 0.6,
+                       hash: str = "xxhash64") -> DataFrame:
+    """Full MinHash→LSH→verify pipeline → near-dup pairs above threshold.
+
+    ``hash="sha256"`` makes every stage bit-reproducible in DuckDB
+    (oracle-paired in plans/queries.py); the operator shape — one
+    signature agg, banded equi-join, candidate-restricted verify — is
+    identical in both modes."""
     sh = shingles(docs, n)
-    sigs = minhash_signatures(sh)
-    cands = lsh_candidate_pairs(sigs)
+    sigs = minhash_signatures(sh, hash=hash)
+    cands = lsh_candidate_pairs(
+        sigs, band_key="hash" if hash == "xxhash64" else "string"
+    )
     return jaccard_verify(sh, cands, threshold)
 
 
@@ -145,44 +179,45 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 2, min_common: int = 10) -> Da
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc (Arrow kernel: bit-majority of token
-    hashes, vectorized with numpy over the batch)."""
+    """60-bit SimHash per doc — ENTIRELY builtin expressions.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            out_ids, out_hashes = [], []
-            for doc_id, text in zip(b["doc_id"].to_numpy(), b["text"].to_numpy()):
-                toks = text.split(" ")
-                # deterministic 64-bit token hashes (FNV-1a, numpy-friendly)
-                hs = np.zeros(len(toks), dtype=np.uint64)
-                for t_i, t in enumerate(toks):
-                    h = np.uint64(0xCBF29CE484222325)
-                    for ch in t.encode():
-                        h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                    hs[t_i] = h
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-                vote = (2 * bits - 1).sum(axis=0)
-                sh_bits = (vote >= 0).astype(np.uint64)
-                val = np.uint64(0)
-                for bit_i in range(64):
-                    val |= sh_bits[bit_i] << np.uint64(bit_i)
-                out_ids.append(doc_id)
-                out_hashes.append(np.int64(val.astype(np.int64)))
-            yield pd.DataFrame({"doc_id": out_ids, "simhash": np.asarray(out_hashes, dtype=np.int64)})
-
-    return docs.select("doc_id", "text").mapInPandas(run, schema="doc_id long, simhash long")
+    Token hashes are 60-bit sha256 hex windows (JVM-side, and
+    reproducible in DuckDB — the oracle pairing in plans/queries.py);
+    the bit-majority vote is 60 conditional SUM aggregates over the
+    exploded tokens: ONE map-side-combinable hash aggregate, no Python,
+    no per-bit row blowup. Tie (vote == 0) counts as a 1-bit."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    th = ids_sql.sha256_hash60_expr(F.col("tok"))
+    votes = toks.select("doc_id", th.alias("th")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(N_SIMHASH_BITS)
+        ]
+    )
+    val: Column = F.lit(0).cast("long")
+    for b in range(N_SIMHASH_BITS):
+        val = val + F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return votes.select("doc_id", val.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates by SimHash: block on 16-bit chunks (pigeonhole:
+    """Near-dup candidates by SimHash: block on 15-bit chunks (pigeonhole:
     hamming ≤ 3 over 4 chunks → at least one chunk identical), verify
-    hamming distance with bit_count — all builtins after the kernel."""
+    hamming distance with bit_count — all builtins end to end."""
     s = simhash(docs)
     chunk = F.explode(
         F.array(*[
             F.struct(
                 F.lit(i).alias("chunk_id"),
-                F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+                F.shiftright(F.col("simhash"), i * SIMHASH_CHUNK_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_CHUNK_BITS) - 1))
+                .alias("chunk_val"),
             )
             for i in range(4)
         ])

@@ -9,13 +9,20 @@ Design for scale:
   map-side-combinable aggregation, not a window (a window would sort
   whole partitions; the agg ships only one row per url out of each map
   task).
-- one ``mapInPandas`` pass emits a combined record table (addresses and
-  buildings share it via a ``kind`` column) with ids, cells, bboxes,
-  centroids, areas, and cell covers all computed in-batch with numpy —
-  downstream never touches ``html`` again, so column pruning keeps the
-  heavy binary out of every later scan.
-- callers persist/materialize the records output before branching into
-  addresses/buildings (SURVEY.md §4 column-pruning note).
+- span extraction + JSON parse + ids + cells + bboxes are PURE COLUMN
+  EXPRESSIONS (``regexp_extract_all`` → ``posexplode`` → ``from_json``
+  → sha2-based id → Morton cell encode) — whole-stage codegen, zero
+  Python. ``posexplode`` reproduces the §8.6 record_idx exactly (every
+  span consumes an index, parseable or not, because ``from_json``
+  nulls out corrupt spans *after* the explode).
+- only the building centroid/area (whose np.mean/np.sum pairwise
+  summation order is part of the §8 bit-parity contract) and the numpy
+  cell cover run in one light Arrow pass over the already-parsed
+  records — ``html`` never crosses into Python.
+- downstream never touches ``html`` again, so column pruning keeps the
+  heavy binary out of every later scan; callers persist/materialize
+  the records output before branching into addresses/buildings
+  (SURVEY.md §4 column-pruning note).
 """
 
 from __future__ import annotations
@@ -28,7 +35,13 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from mergeaddressesandbuildings_spark import config
-from mergeaddressesandbuildings_spark.functions import cells, geom, ids, textx
+from mergeaddressesandbuildings_spark.functions import (
+    cells,
+    cells_sql,
+    geom,
+    ids_sql,
+    textx,
+)
 
 RECORDS_SCHEMA = T.StructType(
     [
@@ -79,105 +92,128 @@ def latest_capture(pages: DataFrame) -> DataFrame:
     )
 
 
-def _extract_batch(pdf: pd.DataFrame, level: int) -> pd.DataFrame:
-    rows: list[dict] = []
-    bld_rings: list[tuple[np.ndarray, np.ndarray]] = []  # row-order ring arrays
-    for url, html in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
-        for rec in textx.extract_geo_records(bytes(html), strict=False):
-            idx = rec["record_idx"]
-            if rec.get("kind") == "address" and "lat" in rec and "lon" in rec:
-                rows.append(
-                    {
-                        "kind": "address",
-                        "id": ids.stable_id64("a", url, idx),
-                        "url": url,
-                        "record_idx": idx,
-                        "lat": float(rec["lat"]),
-                        "lon": float(rec["lon"]),
-                        "housenumber": rec.get("housenumber"),
-                        "street": rec.get("street"),
-                        "unit": rec.get("unit"),
-                        "city": rec.get("city"),
-                        "state": rec.get("state"),
-                        "postcode": rec.get("postcode"),
-                    }
-                )
-            elif rec.get("kind") == "building" and rec.get("ring"):
-                ring = np.asarray(rec["ring"], dtype=np.float64)
-                if len(ring) < 4:
-                    continue
-                rlat, rlon = ring[:, 0], ring[:, 1]
-                # bbox is computed BATCHED after the loop (min/max are
-                # order-independent → bit-identical to geom.ring_bbox);
-                # centroid/area stay per-ring: np.mean/np.sum use
-                # pairwise summation whose grouping the batched
-                # reduceat would not reproduce bit-for-bit
-                clat, clon = geom.ring_centroid(rlat, rlon)
-                bld_rings.append((rlat, rlon))
-                rows.append(
-                    {
-                        "kind": "building",
-                        "id": ids.stable_id64("b", url, idx),
-                        "url": url,
-                        "record_idx": idx,
-                        "ring_lats": rlat.tolist(),
-                        "ring_lons": rlon.tolist(),
-                        "tags": rec.get("tags") or {},
-                        "centroid_lat": clat,
-                        "centroid_lon": clon,
-                        "area_m2": geom.ring_area_m2(rlat, rlon),
-                    }
-                )
-    out = pd.DataFrame(rows, columns=_COLS)
-    if out.empty:
-        return out
-    if bld_rings:
-        flat_lat, flat_lon, offsets = geom.flatten_rings(
-            [r[0] for r in bld_rings], [r[1] for r in bld_rings]
-        )
-        starts = offsets[:-1]
-        bmask = (out["kind"] == "building").to_numpy()
-        out.loc[bmask, "min_lat"] = np.minimum.reduceat(flat_lat, starts)
-        out.loc[bmask, "min_lon"] = np.minimum.reduceat(flat_lon, starts)
-        out.loc[bmask, "max_lat"] = np.maximum.reduceat(flat_lat, starts)
-        out.loc[bmask, "max_lon"] = np.maximum.reduceat(flat_lon, starts)
-    # missing keys surface as NaN; Arrow needs None for array/map columns
-    for col in ("ring_lats", "ring_lons", "tags", "cells"):
-        out[col] = out[col].astype(object).where(out[col].notna(), None)
-    # vectorized cell encode over the whole Arrow batch (T1, batched)
-    is_addr = (out["kind"] == "address").to_numpy()
-    lat = out["lat"].to_numpy(dtype=np.float64, na_value=np.nan)
-    lon = out["lon"].to_numpy(dtype=np.float64, na_value=np.nan)
-    cell_col = np.full(len(out), np.nan, dtype=np.float64)
-    if is_addr.any():
-        cell_col[is_addr] = cells.encode(lat[is_addr], lon[is_addr], level)
-    out["cell"] = pd.array(
-        [int(c) if not np.isnan(c) else None for c in cell_col], dtype="Int64"
-    )
-    if (~is_addr).any():
+# the JSON payload inside <span class="geo-record">…</span>
+# (mirrors textx.extract_geo_records / the fixture generator)
+_GEO_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("housenumber", T.StringType()),
+        T.StructField("street", T.StringType()),
+        T.StructField("unit", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("postcode", T.StringType()),
+        T.StructField("ring", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+# same span regex as textx._GEO_SPAN ((?s) = DOTALL)
+_GEO_SPAN_RE = r'(?s)<span class="geo-record">(.*?)</span>'
+
+
+def _enrich_batch(pdf: pd.DataFrame, level: int) -> pd.DataFrame:
+    """Building-only Arrow enrich: per-ring centroid/area (np.mean /
+    np.sum pairwise-summation bits are part of the §8 parity contract,
+    so these stay per-ring numpy — see geom.ring_centroid) plus the
+    batched numpy cell cover. Address rows pass through untouched."""
+    bmask = (pdf["kind"] == "building").to_numpy()
+    if bmask.any():
+        bidx = np.flatnonzero(bmask)
+        lats = pdf["ring_lats"].to_numpy()
+        lons = pdf["ring_lons"].to_numpy()
+        clat = np.full(len(pdf), np.nan)
+        clon = np.full(len(pdf), np.nan)
+        area = np.full(len(pdf), np.nan)
+        for i in bidx:
+            la = np.asarray(lats[i], dtype=np.float64)
+            lo = np.asarray(lons[i], dtype=np.float64)
+            clat[i], clon[i] = geom.ring_centroid(la, lo)
+            area[i] = geom.ring_area_m2(la, lo)
+        pdf = pdf.assign(centroid_lat=clat, centroid_lon=clon, area_m2=area)
         covers = cells.cover_bbox(
-            out.loc[~is_addr, "min_lat"].to_numpy(),
-            out.loc[~is_addr, "min_lon"].to_numpy(),
-            out.loc[~is_addr, "max_lat"].to_numpy(),
-            out.loc[~is_addr, "max_lon"].to_numpy(),
+            pdf["min_lat"].to_numpy(dtype=np.float64)[bidx],
+            pdf["min_lon"].to_numpy(dtype=np.float64)[bidx],
+            pdf["max_lat"].to_numpy(dtype=np.float64)[bidx],
+            pdf["max_lon"].to_numpy(dtype=np.float64)[bidx],
             level,
         )
-        cover_series = pd.Series([None] * len(out), dtype=object)
-        cover_series.iloc[np.flatnonzero(~is_addr)] = [c.tolist() for c in covers]
-        out["cells"] = cover_series
-    return out
+        cover_series = pd.Series([None] * len(pdf), dtype=object)
+        cover_series.iloc[bidx] = [c.tolist() for c in covers]
+        pdf["cells"] = cover_series.values
+    if "cell" in pdf and pdf["cell"].dtype != "Int64":
+        pdf["cell"] = pdf["cell"].astype("Int64")
+    return pdf[_COLS]
 
 
 def extract_records(pages: DataFrame, level: int = config.CELL_LEVEL,
                     dedupe_captures: bool = True) -> DataFrame:
-    """pages → combined record table (kind ∈ {address, building})."""
+    """pages → combined record table (kind ∈ {address, building}).
+
+    The parse is all JVM expressions; one light Arrow pass derives the
+    building centroid/area/cover (see module docstring)."""
     src = latest_capture(pages) if dedupe_captures else pages
+
+    spans = F.regexp_extract_all(
+        F.col("html").cast("string"), F.lit(_GEO_SPAN_RE), 1
+    )
+    recs = (
+        src.select("url", F.posexplode(spans).alias("record_idx", "span"))
+        .select(
+            "url",
+            F.col("record_idx").cast("int").alias("record_idx"),
+            F.from_json("span", _GEO_JSON_SCHEMA).alias("r"),
+        )
+    )
+    r = F.col("r")
+    # corrupt spans parse to an all-null struct → fail both predicates →
+    # dropped, but their record_idx was already consumed (§8.6 stability
+    # under partial corruption — same semantics as strict=False)
+    is_addr = (r["kind"] == "address") & r["lat"].isNotNull() & r["lon"].isNotNull()
+    is_bld = (r["kind"] == "building") & r["ring"].isNotNull() & (F.size(r["ring"]) >= 4)
+    ring_lats = F.transform(r["ring"], lambda p: p[0])
+    ring_lons = F.transform(r["ring"], lambda p: p[1])
+
+    def addr(c: str) -> F.Column:
+        return F.when(is_addr, r[c]).alias(c)
+
+    flat = recs.filter(is_addr | is_bld).select(
+        F.when(is_addr, F.lit("address")).otherwise(F.lit("building")).alias("kind"),
+        ids_sql.stable_id64_expr(
+            F.when(is_addr, F.lit("a")).otherwise(F.lit("b")),
+            F.col("url"), F.col("record_idx"),
+        ).alias("id"),
+        "url", "record_idx",
+        addr("lat"), addr("lon"),
+        addr("housenumber"), addr("street"), addr("unit"),
+        addr("city"), addr("state"), addr("postcode"),
+        F.when(is_bld, ring_lats).alias("ring_lats"),
+        F.when(is_bld, ring_lons).alias("ring_lons"),
+        F.when(is_bld, F.coalesce(r["tags"], F.expr("CAST(map() AS MAP<STRING,STRING>)"))).alias("tags"),
+        # min/max are order-independent → array_min/max are bit-identical
+        # to the old reduceat bbox
+        F.when(is_bld, F.array_min(ring_lats)).alias("min_lat"),
+        F.when(is_bld, F.array_min(ring_lons)).alias("min_lon"),
+        F.when(is_bld, F.array_max(ring_lats)).alias("max_lat"),
+        F.when(is_bld, F.array_max(ring_lons)).alias("max_lon"),
+        F.lit(None).cast("double").alias("centroid_lat"),
+        F.lit(None).cast("double").alias("centroid_lon"),
+        F.lit(None).cast("double").alias("area_m2"),
+        # T1 cell encode, JVM variant (bit-identical to cells.encode —
+        # tests/test_cells_sql.py)
+        F.when(is_addr, cells_sql.cell_expr(r["lat"], r["lon"], level)).alias("cell"),
+        F.lit(None).cast("array<long>").alias("cells"),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield _extract_batch(b, level)
+            if b.empty:
+                continue
+            yield _enrich_batch(b, level)
 
-    return src.select("url", "html").mapInPandas(run, schema=RECORDS_SCHEMA)
+    return flat.mapInPandas(run, schema=RECORDS_SCHEMA)
 
 
 def text_parity_violations(pages: DataFrame) -> DataFrame:

@@ -22,6 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from mergeaddressesandbuildings_spark import config
@@ -31,7 +32,8 @@ from mergeaddressesandbuildings_spark.functions import cells_sql
 def assign_tiles(points: DataFrame,
                  budget: int = config.TILE_MAX_ELEMS,
                  level: int = config.CELL_LEVEL,
-                 max_level: int = config.MAX_CELL_LEVEL) -> DataFrame:
+                 max_level: int = config.MAX_CELL_LEVEL,
+                 tm: DataFrame | None = None) -> DataFrame:
     """points(elem_id, lat, lon, ...) → same + ``tile`` column.
 
     Single-pass formulation of the recursive split. Cell counts are
@@ -58,32 +60,55 @@ def assign_tiles(points: DataFrame,
     A previous per-round driver loop cost ~4 jobs/round and 17 s on a
     19k-row input; this plan runs in the noise.
     """
-    df = points.withColumn(
-        "_cmax", cells_sql.cell_expr(F.col("lat"), F.col("lon"), max_level)
-    )
-    tm = tile_map(points, budget=budget, level=level, max_level=max_level)
-    return df.join(tm, "_cmax").drop("_cmax")
+    x, y = cells_sql.xy_expr(F.col("lat"), F.col("lon"), max_level)
+    df = points.withColumn("_x", x).withColumn("_y", y)
+    if tm is None:
+        tm = tile_map(points, budget=budget, level=level, max_level=max_level)
+    return df.join(tm, ["_x", "_y"]).drop("_x", "_y")
 
 
 def tile_map(points: DataFrame,
              budget: int = config.TILE_MAX_ELEMS,
              level: int = config.CELL_LEVEL,
              max_level: int = config.MAX_CELL_LEVEL) -> DataFrame:
-    """The fine-cell → tile mapping ``(_cmax, tile)`` for the points
+    """The fine-cell → tile mapping ``(_x, _y, tile)`` for the points
     universe (see :func:`assign_tiles` for the derivation). Exposed
     separately so a consumer that already knows a row's coordinates can
     join on the (much smaller) distinct-cell map directly instead of
-    joining full point rows back by element id."""
+    joining full point rows back by element id.
+
+    The map is KEYED by the raw level-``max_level`` (x, y) integer
+    coords, not the Morton id: the big side then only evaluates two
+    floor-divisions per row, and the 60-op Morton bit-spread runs once
+    per DISTINCT cell on the aggregated (small) side — inlining that
+    chain per join key per union branch overflowed janino's 64 KB
+    method limit and dropped the whole tiling stage to interpreted
+    execution (round-1 bench tail)."""
     n_lvls = max_level - level + 1
-    df = points.withColumn(
-        "_cmax", cells_sql.cell_expr(F.col("lat"), F.col("lon"), max_level)
-    )
+    x, y = cells_sql.xy_expr(F.col("lat"), F.col("lon"), max_level)
+    df = points.withColumn("_x", x).withColumn("_y", y)
     chain = F.array(*[
         F.shiftright(F.col("_cmax"), 2 * (max_level - level - k))
         for k in range(n_lvls)
     ])
-    counts = df.groupBy("_cmax").agg(F.count("*").alias("_n")) \
-               .withColumn("_chain", chain)
+    counts = (
+        df.groupBy("_x", "_y").agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_cmax",
+            cells_sql.cell_from_xy_expr(F.col("_x"), F.col("_y"), max_level),
+        )
+        .withColumn("_chain", chain)
+    )
+    # materialize the distinct-cell counts ONCE: three consumers below
+    # (ancestor totals, position scan, final join base) would otherwise
+    # each inline the full points-union + aggregation subtree — re-running
+    # the only data-cardinality shuffle up to 3× AND fusing ~15k lines of
+    # generated code into one processNext(), which overflows janino's
+    # 64 KB method limit and silently drops the stage to interpreted
+    # execution. The counts table is per-DISTINCT-fine-cell (orders of
+    # magnitude smaller than the points), so caching it is cheap.
+    counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+    counts.count()  # eager: lazy persist races the three-branch fan-out
     anc = (
         counts.select(F.explode("_chain").alias("_anc"), "_n")
         .groupBy("_anc").agg(F.sum("_n").alias("_t"))
@@ -99,7 +124,7 @@ def tile_map(points: DataFrame,
     return (
         counts.join(first_ok, "_cmax", "left")
         .select(
-            "_cmax",
+            "_x", "_y",
             F.element_at(
                 "_chain",
                 (F.coalesce(F.col("_p"), F.lit(n_lvls - 1)) + 1).cast("int"),

@@ -35,8 +35,14 @@ def resolve_rings(nodes: DataFrame, ways: DataFrame) -> DataFrame:
         F.posexplode("node_refs").alias("pos", "node_id"),
         F.size("node_refs").alias("n_refs"),
     )
+    # a node id defined in several input files (shared border nodes in
+    # a multi-county .osm glob) would otherwise duplicate ref rows and
+    # make size(_ordered) exceed n_refs, silently discarding a fully
+    # resolvable way — dedupe the nodes side first
     joined = refs.join(
-        nodes.select(F.col("id").alias("node_id"), "lat", "lon"), "node_id"
+        nodes.select(F.col("id").alias("node_id"), "lat", "lon")
+        .dropDuplicates(["node_id"]),
+        "node_id",
     )
     return (
         joined.groupBy("way_id", "n_refs")

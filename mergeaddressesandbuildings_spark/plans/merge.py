@@ -43,6 +43,9 @@ class MergeResult:
     sets: DataFrame
     tiles: DataFrame  # assignments+buildings with tile column
     tile_points: DataFrame  # the tile universe (elem_id, lat, lon, kind)
+    tile_map: DataFrame  # distinct fine-cell → tile map (computed ONCE;
+    # consumers that know a row's coordinates join this small map
+    # directly instead of re-deriving it — jobs/merge.py)
 
 
 def run_merge(
@@ -133,7 +136,8 @@ def run_merge(
     sets = dec.output_sets(assignments, buildings)
 
     points = tiling.tile_points(assignments, buildings)
-    tiles = tiling.assign_tiles(points, budget=budget, level=level)
+    tm = tiling.tile_map(points, budget=budget, level=level)
+    tiles = tiling.assign_tiles(points, budget=budget, level=level, tm=tm)
 
     return MergeResult(
         addresses=addresses,
@@ -142,4 +146,5 @@ def run_merge(
         sets=sets,
         tiles=tiles,
         tile_points=points,
+        tile_map=tm,
     )

@@ -583,14 +583,102 @@ def text_sha_parity(spark, sf_dir):
     return p.select("url", F.sha2(F.col("text"), 256).alias("text_sha256"))
 
 
-@register("minhash_lsh_pairs")
+def _hex60_sql(s: str) -> str:
+    """DuckDB twin of ids_sql.sha256_hash60_expr."""
+    return f"CAST('0x' || substr(sha256({s}), 1, 15) AS BIGINT)"
+
+
+def _minhash_oracle() -> str:
+    """Full MinHash→LSH-banding→Jaccard-verify pipeline in DuckDB SQL —
+    bit-identical to doc_dedupe.minhash_lsh_dedupe(hash='sha256'):
+    sha256 hex-window shingle hashes, 4 string-keyed bands of 4, exact
+    Jaccard on candidates only."""
+    hs = ",\n         ".join(
+        f"CAST('0x' || substr(sha256('mh{j // 4}|' || shingle), "
+        f"{1 + 15 * (j % 4)}, 15) AS BIGINT) AS h{j}"
+        for j in range(16)
+    )
+    mins = ", ".join(f"MIN(h{j}) AS m{j}" for j in range(16))
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(m{b * 4 + i} AS VARCHAR)" for i in range(4)
+            ),
+        )
+        for b in range(4)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+    sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+    hh AS (SELECT doc_id, shingle,
+         {hs}
+       FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      CAST(COUNT(*) AS BIGINT) AS n_common
+               FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+               JOIN cand c ON c.doc_a = x.doc_id AND c.doc_b = y.doc_id
+               GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+    FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a
+                  JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+    """
+
+
+@register("minhash_lsh_pairs", _minhash_oracle())
 def minhash_lsh_pairs(spark, sf_dir):
+    """Oracle-paired MinHash+LSH (sha256 hash family — bit-reproducible
+    in DuckDB; the xxhash64 family is the scale default, same plan)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    out = doc_dedupe.minhash_lsh_dedupe(docs, n=2, threshold=0.5)
+    out = doc_dedupe.minhash_lsh_dedupe(docs, n=2, threshold=0.5, hash="sha256")
     return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b")
 
 
-@register("simhash_near_pairs")
+def _simhash_oracle() -> str:
+    """DuckDB twin of doc_dedupe.simhash + simhash_near_pairs: 60-bit
+    sha256 token hashes, per-bit majority vote, 15-bit chunk blocking,
+    bit_count hamming verify."""
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60)
+    )
+    value = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END"
+        for b in range(60)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents WHERE doc_id < 300),
+    h AS (SELECT doc_id, {_hex60_sql('tok')} AS th FROM toks),
+    v AS (SELECT doc_id,
+           {votes}
+          FROM h GROUP BY doc_id),
+    s AS (SELECT doc_id, ({value}) AS simhash FROM v),
+    c AS (SELECT doc_id, simhash, t.chunk_id,
+                 (simhash >> (t.chunk_id * 15)) & 32767 AS chunk_val
+          FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk_id) t)
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+    FROM c x JOIN c y
+      ON x.chunk_id = y.chunk_id AND x.chunk_val = y.chunk_val
+     AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+    """
+
+
+@register("simhash_near_pairs", _simhash_oracle())
 def simhash_near_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return doc_dedupe.simhash_near_pairs(docs, max_hamming=3)

@@ -53,10 +53,26 @@ def write_osm_tiles(elements: DataFrame, out_dir: str) -> DataFrame:
 
     def write_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         tile = int(pdf["tile"].iat[0])
+        pdf = pdf.sort_values(["elem_kind", "id"])
         nodes, ways, conflicts = [], [], []
         node_seq: dict[tuple, int] = {}  # shared way vertices dedupe (A4)
+        # synthesized way-vertex ids: sequential negative counter per
+        # tile (deterministic — the iteration order is sorted), skipping
+        # every hash-derived element-NODE id so a vertex can never
+        # collide with an address node and corrupt geometry silently.
+        # (Way ids live in OSM's separate way id-space — no clash.)
+        elem_node_ids = {
+            _neg(i) for i in pdf.loc[pdf["elem_kind"] == "node", "id"]
+        }
+        vseq = [0]
 
-        for row in pdf.sort_values(["elem_kind", "id"]).itertuples(index=False):
+        def next_vertex_id() -> int:
+            vseq[0] -= 1
+            while vseq[0] in elem_node_ids:
+                vseq[0] -= 1
+            return vseq[0]
+
+        for row in pdf.itertuples(index=False):
             tags = dict(row.tags) if row.tags else {}
             if row.decision == "CONFLICT":
                 conflicts.append({"id": int(row.id), "tags": tags})
@@ -64,19 +80,21 @@ def write_osm_tiles(elements: DataFrame, out_dir: str) -> DataFrame:
                 nodes.append(
                     (
                         _neg(row.id),
-                        f'  <node id="{_neg(row.id)}" lat="{row.lat!r}" '
-                        f'lon="{row.lon!r}">{_tag_xml(tags)}\n  </node>',
+                        f'  <node id="{_neg(row.id)}" lat="{float(row.lat)!r}" '
+                        f'lon="{float(row.lon)!r}">{_tag_xml(tags)}\n  </node>',
                     )
                 )
             else:
                 refs = []
-                for k, (la, lo) in enumerate(zip(row.ring_lats, row.ring_lons)):
-                    key = (round(la, 7), round(lo, 7))
+                for la, lo in zip(row.ring_lats, row.ring_lons):
+                    key = (round(float(la), 7), round(float(lo), 7))
                     if key not in node_seq:
-                        nid = _neg((int(row.id) * 31 + k) & 0x7FFFFFFFFFFFFFFF)
+                        nid = next_vertex_id()
                         node_seq[key] = nid
                         nodes.append(
-                            (nid, f'  <node id="{nid}" lat="{la!r}" lon="{lo!r}"/>')
+                            (nid,
+                             f'  <node id="{nid}" lat="{float(la)!r}" '
+                             f'lon="{float(lo)!r}"/>')
                         )
                     refs.append(node_seq[key])
                 nd = "".join(f'\n    <nd ref="{r}"/>' for r in refs)

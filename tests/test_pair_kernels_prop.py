@@ -63,6 +63,36 @@ def test_pair_pip_matches_single_ring(case):
 
 @given(ring_set())
 @settings(max_examples=60, deadline=None)
+def test_pair_rings_overlap_matches_single(case):
+    rings, _, _, _, _ = case
+    # second ring set: shifted copies so overlaps and misses both occur
+    rng = np.random.RandomState(7)
+    other = []
+    for rlat, rlon in rings:
+        dl = rng.uniform(-0.03, 0.03)
+        dn = rng.uniform(-0.03, 0.03)
+        other.append((rlat + dl, rlon + dn))
+    a_lat, a_lon, a_off = geom.flatten_rings(
+        [r[0] for r in rings], [r[1] for r in rings]
+    )
+    b_lat, b_lon, b_off = geom.flatten_rings(
+        [r[0] for r in other], [r[1] for r in other]
+    )
+    n = len(rings)
+    pair_a = np.repeat(np.arange(n, dtype=np.int64), n)
+    pair_b = np.tile(np.arange(n, dtype=np.int64), n)
+    got = geom.pairs_rings_overlap(
+        pair_a, pair_b, a_lat, a_lon, a_off, b_lat, b_lon, b_off
+    )
+    for k in range(len(pair_a)):
+        ra = rings[pair_a[k]]
+        rb = other[pair_b[k]]
+        want = geom.rings_overlap(ra[0], ra[1], rb[0], rb[1])
+        assert got[k] == want, f"pair {k}: {got[k]} != {want}"
+
+
+@given(ring_set())
+@settings(max_examples=60, deadline=None)
 def test_pair_dist_matches_single_ring(case):
     rings, plat, plon, pair_pt, pair_ring = case
     flat_lat, flat_lon, offsets = geom.flatten_rings(
