@@ -68,6 +68,7 @@ def main() -> None:
         existing = osm_xml.to_existing_table(
             osm_xml.read_nodes(spark, args.existing_osm_xml),
             osm_xml.read_ways(spark, args.existing_osm_xml),
+            osm_xml.read_relations(spark, args.existing_osm_xml),
         )
     elif args.existing_path:
         existing = catalog.read_table(spark, args.existing_path, args.format)

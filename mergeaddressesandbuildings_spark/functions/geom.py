@@ -205,6 +205,220 @@ def pairs_point_to_ring_dist_m(
     return np.sqrt(np.minimum.reduceat(d2, seg_starts))
 
 
+# ---------- polygons with holes (multipolygon buildings, §8.1 ext) ----
+#
+# A polygon = one outer ring + 0..n hole rings. Semantics:
+#   PIP: even-odd parity of ray crossings over ALL rings (inside outer
+#        and not inside a hole); a point on ANY ring edge counts inside.
+#   distance: min point→edge distance over all rings (a point in a
+#        courtyard is outside the polygon; its distance is to the hole).
+#   area: outer shoelace − Σ hole shoelaces (each at its own mean lat).
+#   overlap (J3): any edge of any ring of A intersects any edge of any
+#        ring of B, or A's outer first vertex is inside B (with holes),
+#        or vice versa — so a building fully inside another's courtyard
+#        does NOT overlap it.
+# For hole-free inputs every kernel below degenerates to exactly the
+# single-ring arithmetic above (bit-identical — asserted in
+# tests/test_pair_kernels_prop.py and the golden fingerprints).
+
+
+def flatten_polys(ring_lats, ring_lons, hole_lats, hole_lons):
+    """Ragged polygon set → (flat_lat, flat_lon, ring_offsets,
+    poly_ring_offsets). Polygon j's rings are ring indices
+    ``poly_ring_offsets[j]:poly_ring_offsets[j+1]`` (outer first, then
+    its holes), laid out contiguously in the flat vertex arrays.
+    ``hole_lats[j]`` may be None or a list of hole rings."""
+    all_lats: list = []
+    all_lons: list = []
+    poly_off = np.zeros(len(ring_lats) + 1, dtype=np.int64)
+    for j, (rla, rlo) in enumerate(zip(ring_lats, ring_lons)):
+        all_lats.append(rla)
+        all_lons.append(rlo)
+        n_rings = 1
+        hla = hole_lats[j] if hole_lats is not None else None
+        hlo = hole_lons[j] if hole_lons is not None else None
+        if hla is not None and len(hla):
+            for hr_la, hr_lo in zip(hla, hlo):
+                all_lats.append(hr_la)
+                all_lons.append(hr_lo)
+                n_rings += 1
+        poly_off[j + 1] = poly_off[j] + n_rings
+    flat_lat, flat_lon, ring_off = flatten_rings(all_lats, all_lons)
+    return flat_lat, flat_lon, ring_off, poly_off
+
+
+def flatten_polys_packed(ring_lats, ring_lons, hflat_lat, hflat_lon, hole_lens):
+    """Like :func:`flatten_polys`, but holes arrive PACKED per polygon:
+    ``hflat_lat[j]``/``hflat_lon[j]`` are polygon j's hole vertices
+    concatenated, ``hole_lens[j]`` the per-hole ring lengths. Used by
+    the cogroup join strategy, whose Arrow serializer cannot ship
+    ``array<array<double>>`` columns (segfaults in pyarrow's nested
+    list path at real batch sizes — operators/spatial_join.py); plain
+    ``array<double>``/``array<int>`` columns round-trip fine."""
+    all_lats: list = []
+    all_lons: list = []
+    poly_off = np.zeros(len(ring_lats) + 1, dtype=np.int64)
+    for j, (rla, rlo) in enumerate(zip(ring_lats, ring_lons)):
+        all_lats.append(rla)
+        all_lons.append(rlo)
+        n_rings = 1
+        lens = hole_lens[j] if hole_lens is not None else None
+        if lens is not None and len(lens):
+            fl = np.asarray(hflat_lat[j], dtype=np.float64)
+            fo = np.asarray(hflat_lon[j], dtype=np.float64)
+            s = 0
+            for ln in lens:
+                ln = int(ln)
+                all_lats.append(fl[s:s + ln])
+                all_lons.append(fo[s:s + ln])
+                s += ln
+                n_rings += 1
+        poly_off[j + 1] = poly_off[j] + n_rings
+    flat_lat, flat_lon, ring_off = flatten_rings(all_lats, all_lons)
+    return flat_lat, flat_lon, ring_off, poly_off
+
+
+def _poly_pair_expand(pair_poly: np.ndarray, poly_off: np.ndarray):
+    """Expand (pair → polygon) to (pair, ring) granularity: returns
+    (orig_pair_idx, ring_idx) with each pair's rings contiguous and in
+    poly order (outer, holes...)."""
+    n_rings = poly_off[pair_poly + 1] - poly_off[pair_poly]
+    total = int(n_rings.sum())
+    orig = np.repeat(np.arange(len(pair_poly), dtype=np.int64), n_rings)
+    starts = np.zeros(len(pair_poly), dtype=np.int64)
+    np.cumsum(n_rings[:-1], out=starts[1:])
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, n_rings)
+    rings = np.repeat(poly_off[pair_poly], n_rings) + local
+    return orig, rings
+
+
+def pairs_points_in_polys(
+    plat: np.ndarray, plon: np.ndarray,
+    pair_pt: np.ndarray, pair_poly: np.ndarray,
+    flat_lat: np.ndarray, flat_lon: np.ndarray,
+    ring_offsets: np.ndarray, poly_offsets: np.ndarray,
+) -> np.ndarray:
+    """PIP with holes for candidate pairs: even-odd crossings summed
+    over ALL rings of the polygon; on-edge of any ring → inside. For
+    1-ring polygons this is bit-identical to pairs_points_in_rings."""
+    if len(pair_pt) == 0:
+        return np.zeros(0, dtype=bool)
+    orig, rings = _poly_pair_expand(pair_poly, poly_offsets)
+    pair_idx, ei, _ = _pair_edge_expand(rings, ring_offsets)
+    # pair_idx indexes the EXPANDED (pair, ring) rows; map to orig pair
+    opair = orig[pair_idx]
+    px = np.asarray(plon, dtype=np.float64)[pair_pt][opair]
+    py = np.asarray(plat, dtype=np.float64)[pair_pt][opair]
+    x1, y1 = flat_lon[ei], flat_lat[ei]
+    x2, y2 = flat_lon[ei + 1], flat_lat[ei + 1]
+
+    straddles = ((x1 <= px) & (x2 > px)) | ((x2 <= px) & (x1 > px))
+    dx = np.where(x2 - x1 == 0.0, 1.0, x2 - x1)
+    t = (px - x1) / dx
+    y_int = y1 + t * (y2 - y1)
+    crossing = straddles & (y_int > py)
+    ncross = np.bincount(opair, weights=crossing, minlength=len(pair_pt))
+    inside = (ncross.astype(np.int64) % 2) == 1
+
+    cross = (px - x1) * (y2 - y1) - (py - y1) * (x2 - x1)
+    in_box = (
+        (px >= np.minimum(x1, x2) - _EDGE_EPS)
+        & (px <= np.maximum(x1, x2) + _EDGE_EPS)
+        & (py >= np.minimum(y1, y2) - _EDGE_EPS)
+        & (py <= np.maximum(y1, y2) + _EDGE_EPS)
+    )
+    on_edge = (np.abs(cross) <= _EDGE_EPS) & in_box
+    on_any = np.bincount(opair, weights=on_edge, minlength=len(pair_pt)) > 0
+    return inside | on_any
+
+
+def pairs_point_to_polys_dist_m(
+    plat: np.ndarray, plon: np.ndarray,
+    pair_pt: np.ndarray, pair_poly: np.ndarray,
+    flat_lat: np.ndarray, flat_lon: np.ndarray,
+    ring_offsets: np.ndarray, poly_offsets: np.ndarray,
+) -> np.ndarray:
+    """Min point→edge distance over ALL rings of the polygon per pair.
+    Bit-identical to pairs_point_to_ring_dist_m for 1-ring polygons."""
+    if len(pair_pt) == 0:
+        return np.zeros(0, dtype=np.float64)
+    orig, rings = _poly_pair_expand(pair_poly, poly_offsets)
+    pair_idx, ei, _ = _pair_edge_expand(rings, ring_offsets)
+    opair = orig[pair_idx]
+    px = np.asarray(plon, dtype=np.float64)[pair_pt][opair]
+    py = np.asarray(plat, dtype=np.float64)[pair_pt][opair]
+    kx = config.DEG_TO_M * np.cos(np.radians(py))
+    ky = config.DEG_TO_M
+    ax = (flat_lon[ei] - px) * kx
+    ay = (flat_lat[ei] - py) * ky
+    bx = (flat_lon[ei + 1] - px) * kx
+    by = (flat_lat[ei + 1] - py) * ky
+    dx, dy = bx - ax, by - ay
+    seg_len2 = dx * dx + dy * dy
+    t = np.clip(
+        np.where(seg_len2 > 0.0, -(ax * dx + ay * dy) / np.where(seg_len2 == 0.0, 1.0, seg_len2), 0.0),
+        0.0,
+        1.0,
+    )
+    cx = ax + t * dx
+    cy = ay + t * dy
+    d2 = cx * cx + cy * cy
+    # edges of one ORIGINAL pair are contiguous (rings of a poly are
+    # expanded adjacently): reduceat at the per-pair boundaries
+    seg_starts = np.zeros(len(pair_pt), dtype=np.int64)
+    counts = np.bincount(opair, minlength=len(pair_pt)).astype(np.int64)
+    np.cumsum(counts[:-1], out=seg_starts[1:])
+    return np.sqrt(np.minimum.reduceat(d2, seg_starts))
+
+
+def pairs_polys_overlap(
+    pair_a: np.ndarray, pair_b: np.ndarray,
+    a_flat_lat: np.ndarray, a_flat_lon: np.ndarray,
+    a_ring_off: np.ndarray, a_poly_off: np.ndarray,
+    b_flat_lat: np.ndarray, b_flat_lon: np.ndarray,
+    b_ring_off: np.ndarray, b_poly_off: np.ndarray,
+) -> np.ndarray:
+    """Polygon-with-holes overlap per candidate pair: any cross-ring
+    edge intersection, or either outer's first vertex inside the other
+    polygon (with holes). Degenerates to pairs_rings_overlap for 1-ring
+    polygons."""
+    n_pairs = len(pair_a)
+    if n_pairs == 0:
+        return np.zeros(0, dtype=bool)
+    # ring-granularity cross product: (ring of A poly) × (ring of B poly)
+    na = (a_poly_off[pair_a + 1] - a_poly_off[pair_a]).astype(np.int64)
+    nb = (b_poly_off[pair_b + 1] - b_poly_off[pair_b]).astype(np.int64)
+    m = na * nb
+    total = int(m.sum())
+    combo_pair = np.repeat(np.arange(n_pairs, dtype=np.int64), m)
+    starts = np.zeros(n_pairs, dtype=np.int64)
+    np.cumsum(m[:-1], out=starts[1:])
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, m)
+    nb_rep = np.repeat(nb, m)
+    ra_local = local // nb_rep
+    rb_local = local - ra_local * nb_rep
+    ring_a = np.repeat(a_poly_off[pair_a], m) + ra_local
+    ring_b = np.repeat(b_poly_off[pair_b], m) + rb_local
+    ring_hit = _pairs_rings_edge_hit(
+        ring_a, ring_b, a_flat_lat, a_flat_lon, a_ring_off,
+        b_flat_lat, b_flat_lon, b_ring_off,
+    )
+    edge_hit = np.bincount(combo_pair, weights=ring_hit, minlength=n_pairs) > 0
+
+    pidx = np.arange(n_pairs, dtype=np.int64)
+    a_outer = a_ring_off[a_poly_off[pair_a]]  # first vertex of A's outer
+    b_outer = b_ring_off[b_poly_off[pair_b]]
+    a0_in_b = pairs_points_in_polys(
+        a_flat_lat[a_outer], a_flat_lon[a_outer], pidx, pair_b,
+        b_flat_lat, b_flat_lon, b_ring_off, b_poly_off,
+    )
+    b0_in_a = pairs_points_in_polys(
+        b_flat_lat[b_outer], b_flat_lon[b_outer], pidx, pair_a,
+        a_flat_lat, a_flat_lon, a_ring_off, a_poly_off,
+    )
+    return edge_hit | a0_in_b | b0_in_a
+
+
 def ring_bbox(ring_lat: np.ndarray, ring_lon: np.ndarray) -> tuple[float, float, float, float]:
     """(min_lat, min_lon, max_lat, max_lon) of one ring (F3)."""
     return (
@@ -273,23 +487,17 @@ def segments_intersect(
     return proper | touch
 
 
-def pairs_rings_overlap(
+def _pairs_rings_edge_hit(
     pair_a: np.ndarray, pair_b: np.ndarray,
     a_flat_lat: np.ndarray, a_flat_lon: np.ndarray, a_offsets: np.ndarray,
     b_flat_lat: np.ndarray, b_flat_lon: np.ndarray, b_offsets: np.ndarray,
 ) -> np.ndarray:
-    """Ring-overlap test for candidate pairs in ONE numpy pass (the
-    batched twin of :func:`rings_overlap`, same semantics bit for bit:
-    any edge intersection — proper or collinear-touch — or either
-    ring's first vertex inside the other).
-
-    ``pair_a[p]``/``pair_b[p]`` index rings in the two flattened ring
-    sets. All (edge_a × edge_b) combinations of every pair are expanded
-    into flat index arrays and tested with the same orientation
-    formulas as :func:`segments_intersect`; per-pair ``any`` is a
-    bincount. Used by the J3 building-dedupe refine
-    (operators/dedupe.py) so no Python loop runs per candidate pair.
-    """
+    """Per ring-pair: does ANY edge of ring ``pair_a[p]`` intersect any
+    edge of ring ``pair_b[p]`` (proper or collinear-touch)? The edge
+    half of :func:`rings_overlap`, vectorized over all pairs: every
+    (edge_a × edge_b) combination expands into flat index arrays,
+    tested with the same orientation formulas as
+    :func:`segments_intersect`; per-pair ``any`` is a bincount."""
     n_pairs = len(pair_a)
     if n_pairs == 0:
         return np.zeros(0, dtype=bool)
@@ -333,10 +541,27 @@ def pairs_rings_overlap(
         | _on(d3, ax1, ay1, ax2, ay2, bx1, by1)
         | _on(d4, ax1, ay1, ax2, ay2, bx2, by2)
     )
-    edge_hit = (
-        np.bincount(combo_pair, weights=proper | touch, minlength=n_pairs) > 0
-    )
+    return np.bincount(combo_pair, weights=proper | touch, minlength=n_pairs) > 0
 
+
+def pairs_rings_overlap(
+    pair_a: np.ndarray, pair_b: np.ndarray,
+    a_flat_lat: np.ndarray, a_flat_lon: np.ndarray, a_offsets: np.ndarray,
+    b_flat_lat: np.ndarray, b_flat_lon: np.ndarray, b_offsets: np.ndarray,
+) -> np.ndarray:
+    """Ring-overlap test for candidate pairs in ONE numpy pass (the
+    batched twin of :func:`rings_overlap`, same semantics bit for bit:
+    any edge intersection — proper or collinear-touch — or either
+    ring's first vertex inside the other). Used by the J3
+    building-dedupe refine via :func:`pairs_polys_overlap` so no
+    Python loop runs per candidate pair."""
+    n_pairs = len(pair_a)
+    if n_pairs == 0:
+        return np.zeros(0, dtype=bool)
+    edge_hit = _pairs_rings_edge_hit(
+        pair_a, pair_b, a_flat_lat, a_flat_lon, a_offsets,
+        b_flat_lat, b_flat_lon, b_offsets,
+    )
     pidx = np.arange(n_pairs, dtype=np.int64)
     a0_in_b = pairs_points_in_rings(
         a_flat_lat[a_offsets[pair_a]], a_flat_lon[a_offsets[pair_a]],

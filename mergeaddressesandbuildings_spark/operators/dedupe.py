@@ -77,15 +77,18 @@ def _overlap_pairs_kernel(batches):
     for pdf in batches:
         if pdf.empty:
             continue
-        a_lat, a_lon, a_off = geom.flatten_rings(
-            pdf["ring_lats"].to_numpy(), pdf["ring_lons"].to_numpy()
+        a_lat, a_lon, a_roff, a_poff = geom.flatten_polys(
+            pdf["ring_lats"].to_numpy(), pdf["ring_lons"].to_numpy(),
+            pdf["hole_lats"].to_numpy(), pdf["hole_lons"].to_numpy(),
         )
-        b_lat, b_lon, b_off = geom.flatten_rings(
-            pdf["e_ring_lats"].to_numpy(), pdf["e_ring_lons"].to_numpy()
+        b_lat, b_lon, b_roff, b_poff = geom.flatten_polys(
+            pdf["e_ring_lats"].to_numpy(), pdf["e_ring_lons"].to_numpy(),
+            pdf["e_hole_lats"].to_numpy(), pdf["e_hole_lons"].to_numpy(),
         )
         idx = np.arange(len(pdf), dtype=np.int64)
-        hit = geom.pairs_rings_overlap(
-            idx, idx, a_lat, a_lon, a_off, b_lat, b_lon, b_off
+        hit = geom.pairs_polys_overlap(
+            idx, idx, a_lat, a_lon, a_roff, a_poff,
+            b_lat, b_lon, b_roff, b_poff,
         )
         if hit.any():
             ids = np.unique(pdf["building_id"].to_numpy(dtype=np.int64)[hit])
@@ -117,13 +120,15 @@ def dedupe_buildings(new_buildings: DataFrame, existing_ways: DataFrame,
         )
 
     n_exp = cover(new_buildings.select(
-        "building_id", "ring_lats", "ring_lons",
+        "building_id", "ring_lats", "ring_lons", "hole_lats", "hole_lons",
         "min_lat", "min_lon", "max_lat", "max_lon",
     ))
     e_exp = cover(existing_ways.select(
         F.col("building_id").alias("e_id"),
         F.col("ring_lats").alias("e_ring_lats"),
         F.col("ring_lons").alias("e_ring_lons"),
+        F.col("hole_lats").alias("e_hole_lats"),
+        F.col("hole_lons").alias("e_hole_lons"),
         F.col("min_lat").alias("e_min_lat"),
         F.col("min_lon").alias("e_min_lon"),
         F.col("max_lat").alias("e_max_lat"),
@@ -140,7 +145,8 @@ def dedupe_buildings(new_buildings: DataFrame, existing_ways: DataFrame,
         )
         .dropDuplicates(["building_id", "e_id"])
         .select("building_id", "ring_lats", "ring_lons",
-                "e_ring_lats", "e_ring_lons")
+                "hole_lats", "hole_lons",
+                "e_ring_lats", "e_ring_lons", "e_hole_lats", "e_hole_lons")
     )
     hits = cand.mapInPandas(_overlap_pairs_kernel, schema="building_id long").distinct()
     return new_buildings.join(hits, "building_id", "left_anti")

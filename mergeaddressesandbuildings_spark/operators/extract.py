@@ -9,16 +9,16 @@ Design for scale:
   map-side-combinable aggregation, not a window (a window would sort
   whole partitions; the agg ships only one row per url out of each map
   task).
-- span extraction + JSON parse + ids + cells + bboxes are PURE COLUMN
-  EXPRESSIONS (``regexp_extract_all`` → ``posexplode`` → ``from_json``
-  → sha2-based id → Morton cell encode) — whole-stage codegen, zero
-  Python. ``posexplode`` reproduces the §8.6 record_idx exactly (every
-  span consumes an index, parseable or not, because ``from_json``
-  nulls out corrupt spans *after* the explode).
-- only the building centroid/area (whose np.mean/np.sum pairwise
-  summation order is part of the §8 bit-parity contract) and the numpy
-  cell cover run in one light Arrow pass over the already-parsed
-  records — ``html`` never crosses into Python.
+- the ENTIRE parse + derivation is PURE COLUMN EXPRESSIONS
+  (``regexp_extract_all`` → ``posexplode`` → ``from_json`` → sha2-based
+  id → Morton cell encode → sequential-fold centroid/area → SQL cell
+  cover) — whole-stage codegen, zero Python, zero Arrow round trips.
+  ``posexplode`` reproduces the §8.6 record_idx exactly (every span
+  consumes an index, parseable or not, because ``from_json`` nulls out
+  corrupt spans *after* the explode). Centroid/area use the same
+  sequential summation order as the §8 pure-Python oracle
+  (functions/geom_sql.py — bit-identical to the numpy kernels for
+  building-sized rings).
 - downstream never touches ``html`` again, so column pruning keeps the
   heavy binary out of every later scan; callers persist/materialize
   the records output before branching into addresses/buildings
@@ -36,9 +36,8 @@ from pyspark.sql import types as T
 
 from mergeaddressesandbuildings_spark import config
 from mergeaddressesandbuildings_spark.functions import (
-    cells,
     cells_sql,
-    geom,
+    geom_sql,
     ids_sql,
     textx,
 )
@@ -59,6 +58,10 @@ RECORDS_SCHEMA = T.StructType(
         T.StructField("postcode", T.StringType(), True),
         T.StructField("ring_lats", T.ArrayType(T.DoubleType()), True),
         T.StructField("ring_lons", T.ArrayType(T.DoubleType()), True),
+        # §8.1 ext: optional hole rings (multipolygon buildings with
+        # courtyards) — array of closed rings, each inside the outer
+        T.StructField("hole_lats", T.ArrayType(T.ArrayType(T.DoubleType())), True),
+        T.StructField("hole_lons", T.ArrayType(T.ArrayType(T.DoubleType())), True),
         T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("min_lat", T.DoubleType(), True),
         T.StructField("min_lon", T.DoubleType(), True),
@@ -106,6 +109,7 @@ _GEO_JSON_SCHEMA = T.StructType(
         T.StructField("state", T.StringType()),
         T.StructField("postcode", T.StringType()),
         T.StructField("ring", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("holes", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))),
         T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
     ]
 )
@@ -114,46 +118,15 @@ _GEO_JSON_SCHEMA = T.StructType(
 _GEO_SPAN_RE = r'(?s)<span class="geo-record">(.*?)</span>'
 
 
-def _enrich_batch(pdf: pd.DataFrame, level: int) -> pd.DataFrame:
-    """Building-only Arrow enrich: per-ring centroid/area (np.mean /
-    np.sum pairwise-summation bits are part of the §8 parity contract,
-    so these stay per-ring numpy — see geom.ring_centroid) plus the
-    batched numpy cell cover. Address rows pass through untouched."""
-    bmask = (pdf["kind"] == "building").to_numpy()
-    if bmask.any():
-        bidx = np.flatnonzero(bmask)
-        lats = pdf["ring_lats"].to_numpy()
-        lons = pdf["ring_lons"].to_numpy()
-        clat = np.full(len(pdf), np.nan)
-        clon = np.full(len(pdf), np.nan)
-        area = np.full(len(pdf), np.nan)
-        for i in bidx:
-            la = np.asarray(lats[i], dtype=np.float64)
-            lo = np.asarray(lons[i], dtype=np.float64)
-            clat[i], clon[i] = geom.ring_centroid(la, lo)
-            area[i] = geom.ring_area_m2(la, lo)
-        pdf = pdf.assign(centroid_lat=clat, centroid_lon=clon, area_m2=area)
-        covers = cells.cover_bbox(
-            pdf["min_lat"].to_numpy(dtype=np.float64)[bidx],
-            pdf["min_lon"].to_numpy(dtype=np.float64)[bidx],
-            pdf["max_lat"].to_numpy(dtype=np.float64)[bidx],
-            pdf["max_lon"].to_numpy(dtype=np.float64)[bidx],
-            level,
-        )
-        cover_series = pd.Series([None] * len(pdf), dtype=object)
-        cover_series.iloc[bidx] = [c.tolist() for c in covers]
-        pdf["cells"] = cover_series.values
-    if "cell" in pdf and pdf["cell"].dtype != "Int64":
-        pdf["cell"] = pdf["cell"].astype("Int64")
-    return pdf[_COLS]
-
-
 def extract_records(pages: DataFrame, level: int = config.CELL_LEVEL,
                     dedupe_captures: bool = True) -> DataFrame:
     """pages → combined record table (kind ∈ {address, building}).
 
-    The parse is all JVM expressions; one light Arrow pass derives the
-    building centroid/area/cover (see module docstring)."""
+    ENTIRELY column expressions — the whole parse + derivation stage
+    runs inside whole-stage codegen; html never crosses into Python.
+    Centroid/area are sequential folds (functions/geom_sql.py) matching
+    the §8 oracle's summation order; the cell cover is the SQL cover
+    (complete, cap-validated — functions/cells_sql.py)."""
     src = latest_capture(pages) if dedupe_captures else pages
 
     spans = F.regexp_extract_all(
@@ -175,11 +148,24 @@ def extract_records(pages: DataFrame, level: int = config.CELL_LEVEL,
     is_bld = (r["kind"] == "building") & r["ring"].isNotNull() & (F.size(r["ring"]) >= 4)
     ring_lats = F.transform(r["ring"], lambda p: p[0])
     ring_lons = F.transform(r["ring"], lambda p: p[1])
+    # degenerate (<4-vertex) hole rings are dropped; absent/empty holes
+    # normalize to null so hole-free rows are byte-identical to before
+    holes_ok = F.filter(r["holes"], lambda h: F.size(h) >= 4)
+    has_holes = r["holes"].isNotNull() & (F.size(holes_ok) > 0)
+    hole_lats = F.when(has_holes, F.transform(holes_ok, lambda h: F.transform(h, lambda p: p[0])))
+    hole_lons = F.when(has_holes, F.transform(holes_ok, lambda h: F.transform(h, lambda p: p[1])))
 
     def addr(c: str) -> F.Column:
         return F.when(is_addr, r[c]).alias(c)
 
-    flat = recs.filter(is_addr | is_bld).select(
+    # min/max are order-independent → array_min/max are bit-identical
+    # to the numpy reduceat bbox
+    min_lat = F.array_min(ring_lats)
+    min_lon = F.array_min(ring_lons)
+    max_lat = F.array_max(ring_lats)
+    max_lon = F.array_max(ring_lons)
+
+    return recs.filter(is_addr | is_bld).select(
         F.when(is_addr, F.lit("address")).otherwise(F.lit("building")).alias("kind"),
         ids_sql.stable_id64_expr(
             F.when(is_addr, F.lit("a")).otherwise(F.lit("b")),
@@ -191,29 +177,24 @@ def extract_records(pages: DataFrame, level: int = config.CELL_LEVEL,
         addr("city"), addr("state"), addr("postcode"),
         F.when(is_bld, ring_lats).alias("ring_lats"),
         F.when(is_bld, ring_lons).alias("ring_lons"),
+        F.when(is_bld, hole_lats).alias("hole_lats"),
+        F.when(is_bld, hole_lons).alias("hole_lons"),
         F.when(is_bld, F.coalesce(r["tags"], F.expr("CAST(map() AS MAP<STRING,STRING>)"))).alias("tags"),
-        # min/max are order-independent → array_min/max are bit-identical
-        # to the old reduceat bbox
-        F.when(is_bld, F.array_min(ring_lats)).alias("min_lat"),
-        F.when(is_bld, F.array_min(ring_lons)).alias("min_lon"),
-        F.when(is_bld, F.array_max(ring_lats)).alias("max_lat"),
-        F.when(is_bld, F.array_max(ring_lons)).alias("max_lon"),
-        F.lit(None).cast("double").alias("centroid_lat"),
-        F.lit(None).cast("double").alias("centroid_lon"),
-        F.lit(None).cast("double").alias("area_m2"),
+        F.when(is_bld, min_lat).alias("min_lat"),
+        F.when(is_bld, min_lon).alias("min_lon"),
+        F.when(is_bld, max_lat).alias("max_lat"),
+        F.when(is_bld, max_lon).alias("max_lon"),
+        F.when(is_bld, geom_sql.centroid_expr(ring_lats)).alias("centroid_lat"),
+        F.when(is_bld, geom_sql.centroid_expr(ring_lons)).alias("centroid_lon"),
+        F.when(is_bld, geom_sql.poly_area_m2_expr(ring_lats, ring_lons, hole_lats, hole_lons)).alias("area_m2"),
         # T1 cell encode, JVM variant (bit-identical to cells.encode —
         # tests/test_cells_sql.py)
         F.when(is_addr, cells_sql.cell_expr(r["lat"], r["lon"], level)).alias("cell"),
-        F.lit(None).cast("array<long>").alias("cells"),
+        F.when(
+            is_bld,
+            cells_sql.bbox_cover_cells_expr(min_lat, min_lon, max_lat, max_lon, level),
+        ).alias("cells"),
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if b.empty:
-                continue
-            yield _enrich_batch(b, level)
-
-    return flat.mapInPandas(run, schema=RECORDS_SCHEMA)
 
 
 def text_parity_violations(pages: DataFrame) -> DataFrame:
@@ -253,7 +234,8 @@ def split_records(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     buildings = records.filter(F.col("kind") == "building").select(
         F.col("id").alias("building_id"),
-        "url", "record_idx", "ring_lats", "ring_lons", "tags",
+        "url", "record_idx", "ring_lats", "ring_lons",
+        "hole_lats", "hole_lons", "tags",
         "min_lat", "min_lon", "max_lat", "max_lon",
         "centroid_lat", "centroid_lon", "area_m2", "cells",
         F.lit(False).alias("existing"),
@@ -274,74 +256,42 @@ def existing_to_tables(existing: DataFrame, level: int = config.CELL_LEVEL) -> t
     )
 
     ways = existing.filter((F.col("kind") == "way") & F.col("ring").isNotNull())
-    ways = ways.select(
+    ring_lats = F.expr("transform(ring, p -> p.lat)")
+    ring_lons = F.expr("transform(ring, p -> p.lon)")
+    # `holes` (array<array<struct<lat,lon>>>) is an optional input
+    # column — absent in plain-way sources, populated by the
+    # multipolygon resolver (operators/ways.py)
+    if "holes" in existing.columns:
+        hole_lats = F.expr("transform(holes, h -> transform(h, p -> p.lat))")
+        hole_lons = F.expr("transform(holes, h -> transform(h, p -> p.lon))")
+    else:
+        hole_lats = F.lit(None).cast("array<array<double>>")
+        hole_lons = F.lit(None).cast("array<array<double>>")
+    min_lat = F.array_min(ring_lats)
+    min_lon = F.array_min(ring_lons)
+    max_lat = F.array_max(ring_lats)
+    max_lon = F.array_max(ring_lons)
+    enriched = ways.select(
         F.col("elem_id").alias("building_id"),
         F.lit("osm://existing").alias("url"),
         F.lit(-1).cast("int").alias("record_idx"),
-        F.expr("transform(ring, p -> p.lat)").alias("ring_lats"),
-        F.expr("transform(ring, p -> p.lon)").alias("ring_lons"),
+        ring_lats.alias("ring_lats"),
+        ring_lons.alias("ring_lons"),
+        hole_lats.alias("hole_lats"),
+        hole_lons.alias("hole_lons"),
         "tags",
+        min_lat.alias("min_lat"),
+        min_lon.alias("min_lon"),
+        max_lat.alias("max_lat"),
+        max_lon.alias("max_lon"),
+        geom_sql.centroid_expr(ring_lats).alias("centroid_lat"),
+        geom_sql.centroid_expr(ring_lons).alias("centroid_lon"),
+        geom_sql.poly_area_m2_expr(
+            ring_lats, ring_lons, hole_lats, hole_lons
+        ).alias("area_m2"),
+        cells_sql.bbox_cover_cells_expr(
+            min_lat, min_lon, max_lat, max_lon, level
+        ).alias("cells"),
+        F.lit(True).alias("existing"),
     )
-
-    def enrich(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if b.empty:
-                yield _ways_enriched_empty()
-                continue
-            # bbox batched via reduceat (bit-identical — min/max are
-            # order-independent); centroid/area stay per-ring to keep
-            # np.mean/np.sum pairwise-summation bits (see _extract_batch)
-            flat_lat, flat_lon, offsets = geom.flatten_rings(
-                list(b["ring_lats"]), list(b["ring_lons"])
-            )
-            starts = offsets[:-1]
-            mins_lat = np.minimum.reduceat(flat_lat, starts)
-            mins_lon = np.minimum.reduceat(flat_lon, starts)
-            maxs_lat = np.maximum.reduceat(flat_lat, starts)
-            maxs_lon = np.maximum.reduceat(flat_lon, starts)
-            clats, clons, areas = [], [], []
-            for la, lo in zip(b["ring_lats"], b["ring_lons"]):
-                la = np.asarray(la, dtype=np.float64)
-                lo = np.asarray(lo, dtype=np.float64)
-                c = geom.ring_centroid(la, lo)
-                clats.append(c[0]); clons.append(c[1])
-                areas.append(geom.ring_area_m2(la, lo))
-            b = b.assign(
-                min_lat=mins_lat, min_lon=mins_lon, max_lat=maxs_lat, max_lon=maxs_lon,
-                centroid_lat=clats, centroid_lon=clons, area_m2=areas,
-            )
-            covers = cells.cover_bbox(
-                mins_lat, mins_lon, maxs_lat, maxs_lon, level,
-            )
-            b["cells"] = [c.tolist() for c in covers]
-            b["existing"] = True
-            yield b[_WAYS_COLS]
-
-    enriched = ways.mapInPandas(enrich, schema=_WAYS_SCHEMA)
     return nodes, enriched
-
-
-_WAYS_SCHEMA = T.StructType(
-    [
-        T.StructField("building_id", T.LongType(), False),
-        T.StructField("url", T.StringType(), False),
-        T.StructField("record_idx", T.IntegerType(), False),
-        T.StructField("ring_lats", T.ArrayType(T.DoubleType()), False),
-        T.StructField("ring_lons", T.ArrayType(T.DoubleType()), False),
-        T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
-        T.StructField("min_lat", T.DoubleType(), False),
-        T.StructField("min_lon", T.DoubleType(), False),
-        T.StructField("max_lat", T.DoubleType(), False),
-        T.StructField("max_lon", T.DoubleType(), False),
-        T.StructField("centroid_lat", T.DoubleType(), False),
-        T.StructField("centroid_lon", T.DoubleType(), False),
-        T.StructField("area_m2", T.DoubleType(), False),
-        T.StructField("cells", T.ArrayType(T.LongType()), False),
-        T.StructField("existing", T.BooleanType(), False),
-    ]
-)
-_WAYS_COLS = [f.name for f in _WAYS_SCHEMA.fields]
-
-
-def _ways_enriched_empty() -> pd.DataFrame:
-    return pd.DataFrame(columns=_WAYS_COLS)

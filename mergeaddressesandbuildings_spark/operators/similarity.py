@@ -150,16 +150,57 @@ def cosine_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.95,
     )
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64,
-               seed: int = 11) -> tuple[DataFrame, np.ndarray]:
-    """IVF coarse quantizer: assign each vector to its nearest of
-    ``n_centroids`` fixed random-direction centroids (deterministic —
-    no training loop; a k-means refinement would slot in here without
-    changing the plan shape). One matmul per Arrow batch."""
+def _seed_centroids(n_centroids: int, dim: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_centroids, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
+
+def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                        dim: int = 64, n_iter: int = 2,
+                        seed: int = 11) -> np.ndarray:
+    """Spherical k-means for the IVF coarse quantizer — a few
+    DISTRIBUTED Lloyd iterations (deterministic seed init):
+
+    - assign: one matmul per Arrow batch (the same kernel ivf_assign
+      uses) — no shuffle of the vectors themselves;
+    - update: per-dimension sums via ``posexplode`` + hash aggregate
+      (map-side combinable; shuffle volume = n_centroids × dim rows),
+      collected to the driver (tiny) and renormalized to the sphere.
+      Empty clusters keep their previous centroid.
+
+    At 10^12 rows one would train on a sample; the plan shape (matmul
+    assign + cell-keyed aggregate) is unchanged by sampling.
+    """
+    cents = _seed_centroids(n_centroids, dim, seed)
+    for _ in range(n_iter):
+        assigned = _with_nearest_list(embeddings, cents)
+        rows = (
+            assigned.select(
+                "ivf_list", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("ivf_list", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        acc = np.zeros((n_centroids, dim))
+        cnt = np.zeros(n_centroids)
+        for r in rows:
+            acc[r["ivf_list"], r["pos"]] = r["s"]
+            cnt[r["ivf_list"]] = r["n"]
+        new = cents.copy()
+        nz = cnt > 0
+        new[nz] = acc[nz] / cnt[nz, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        cents = new / norms
+    return cents
+
+
+def _with_nearest_list(embeddings: DataFrame, cents: np.ndarray) -> DataFrame:
     @F.pandas_udf("int")
     def nearest(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.to_numpy()).astype(np.float64)
@@ -168,17 +209,34 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64,
         sims = (m / nrm) @ cents.T
         return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
-    return embeddings.withColumn("ivf_list", nearest(F.col("embedding"))), cents
+    return embeddings.withColumn("ivf_list", nearest(F.col("embedding")))
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64,
+               seed: int = 11,
+               centroids: np.ndarray | None = None) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (one matmul per Arrow batch). ``centroids=None`` falls back to the
+    deterministic random-direction init — callers wanting a trained
+    quantizer pass :func:`train_ivf_centroids` output."""
+    cents = centroids if centroids is not None else _seed_centroids(
+        n_centroids, dim, seed)
+    return _with_nearest_list(embeddings, cents), cents
 
 
 def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                     n_centroids: int = 16, n_probe: int = 4,
-                    dim: int = 64) -> DataFrame:
+                    dim: int = 64, train_iters: int = 2) -> DataFrame:
     """Approximate top-k via IVF: score only vectors whose inverted list
     is among the query's ``n_probe`` closest centroids. The big side is
     hash-partitioned by list id; each query probes n_probe/n_centroids
-    of the data — the standard recall/cost dial."""
-    e_l, cents = ivf_assign(embeddings, n_centroids, dim)
+    of the data — the standard recall/cost dial. The quantizer is
+    k-means-trained (``train_iters`` distributed Lloyd passes);
+    ``train_iters=0`` reproduces the untrained random-direction
+    quantizer."""
+    cents = (train_ivf_centroids(embeddings, n_centroids, dim, train_iters)
+             if train_iters > 0 else None)
+    e_l, cents = ivf_assign(embeddings, n_centroids, dim, centroids=cents)
 
     def probes(qe) -> list[int]:
         v = np.asarray(qe, dtype=np.float64)

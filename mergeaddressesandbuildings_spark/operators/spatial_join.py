@@ -47,9 +47,58 @@ CAND_SCHEMA = T.StructType(
 
 _ADDR_KERNEL_COLS = ["addr_id", "lat", "lon"]
 _BLD_KERNEL_COLS = [
-    "building_id", "ring_lats", "ring_lons",
+    "building_id", "ring_lats", "ring_lons", "hole_lats", "hole_lons",
     "min_lat", "min_lon", "max_lat", "max_lon", "area_m2",
 ]
+# cogroup variant: holes packed flat (array<array<double>> segfaults in
+# the cogroup Arrow serializer — see geom.flatten_polys_packed)
+_BLD_COGROUP_COLS = [
+    "building_id", "ring_lats", "ring_lons",
+    "hflat_lat", "hflat_lon", "hole_lens",
+    "min_lat", "min_lon", "max_lat", "max_lon", "area_m2",
+]
+_EMPTY_HOLES = "CAST(array() AS ARRAY<ARRAY<DOUBLE>>)"
+
+
+def _pack_holes(buildings: DataFrame) -> DataFrame:
+    """hole_lats/hole_lons → (hflat_lat, hflat_lon, hole_lens)."""
+    hla = F.coalesce(F.col("hole_lats"), F.expr(_EMPTY_HOLES))
+    hlo = F.coalesce(F.col("hole_lons"), F.expr(_EMPTY_HOLES))
+    return buildings.withColumn("hflat_lat", F.flatten(hla)) \
+                    .withColumn("hflat_lon", F.flatten(hlo)) \
+                    .withColumn("hole_lens", F.transform(hla, lambda h: F.size(h)))
+
+
+_MASK_BLD_CHUNK = 4096  # bounds the dense bbox-prefilter mask: even a
+# salted 20k-point group peaks at 20k×4096 bools ≈ 80 MB per chunk,
+# independent of how many buildings a hot urban cell holds
+
+
+def _bbox_pairs(plat, plon, min_lat, max_lat, min_lon, max_lon,
+                pad_lat=None, pad_lon=None):
+    """(point, building) candidate pairs whose (optionally padded) bbox
+    contains the point — computed in building-axis chunks so the dense
+    mask is bounded regardless of group size."""
+    pts, blds = [], []
+    for s in range(0, len(min_lat), _MASK_BLD_CHUNK):
+        e = s + _MASK_BLD_CHUNK
+        lo_lat = min_lat[None, s:e]
+        hi_lat = max_lat[None, s:e]
+        lo_lon = min_lon[None, s:e]
+        hi_lon = max_lon[None, s:e]
+        if pad_lat is not None:
+            lo_lat = lo_lat - pad_lat
+            hi_lat = hi_lat + pad_lat
+            lo_lon = lo_lon - pad_lon
+            hi_lon = hi_lon + pad_lon
+        m = (
+            (plat[:, None] >= lo_lat) & (plat[:, None] <= hi_lat)
+            & (plon[:, None] >= lo_lon) & (plon[:, None] <= hi_lon)
+        )
+        p, b = np.nonzero(m)
+        pts.append(p)
+        blds.append(b + s)
+    return np.concatenate(pts), np.concatenate(blds)
 
 
 def _pip_kernel(adf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
@@ -58,21 +107,20 @@ def _pip_kernel(adf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(columns=["addr_id", "building_id", "dist_m", "area_m2"])
     plat = adf["lat"].to_numpy(dtype=np.float64)
     plon = adf["lon"].to_numpy(dtype=np.float64)
-    # vectorized bbox prefilter: (n_points, n_buildings) candidate mask
-    in_box = (
-        (plat[:, None] >= bdf["min_lat"].to_numpy()[None, :])
-        & (plat[:, None] <= bdf["max_lat"].to_numpy()[None, :])
-        & (plon[:, None] >= bdf["min_lon"].to_numpy()[None, :])
-        & (plon[:, None] <= bdf["max_lon"].to_numpy()[None, :])
+    pair_pt, pair_bld = _bbox_pairs(
+        plat, plon,
+        bdf["min_lat"].to_numpy(), bdf["max_lat"].to_numpy(),
+        bdf["min_lon"].to_numpy(), bdf["max_lon"].to_numpy(),
     )
-    pair_pt, pair_bld = np.nonzero(in_box)
     if len(pair_pt) == 0:
         return pd.DataFrame(columns=["addr_id", "building_id", "dist_m", "area_m2"])
-    flat_lat, flat_lon, offsets = geom.flatten_rings(
-        bdf["ring_lats"].to_numpy(), bdf["ring_lons"].to_numpy()
+    flat_lat, flat_lon, ring_off, poly_off = geom.flatten_polys_packed(
+        bdf["ring_lats"].to_numpy(), bdf["ring_lons"].to_numpy(),
+        bdf["hflat_lat"].to_numpy(), bdf["hflat_lon"].to_numpy(),
+        bdf["hole_lens"].to_numpy(),
     )
-    hit = geom.pairs_points_in_rings(
-        plat, plon, pair_pt, pair_bld, flat_lat, flat_lon, offsets
+    hit = geom.pairs_points_in_polys(
+        plat, plon, pair_pt, pair_bld, flat_lat, flat_lon, ring_off, poly_off
     )
     pi, bi = pair_pt[hit], pair_bld[hit]
     return pd.DataFrame(
@@ -95,20 +143,21 @@ def _knn_kernel(adf: pd.DataFrame, bdf: pd.DataFrame, cutoff_m: float) -> pd.Dat
     # cutoff contains the point can be within cutoff
     pad_lat = cutoff_m / config.DEG_TO_M
     pad_lon = cutoff_m / (config.DEG_TO_M * np.cos(np.radians(plat[:, None])))
-    near = (
-        (plat[:, None] >= bdf["min_lat"].to_numpy()[None, :] - pad_lat)
-        & (plat[:, None] <= bdf["max_lat"].to_numpy()[None, :] + pad_lat)
-        & (plon[:, None] >= bdf["min_lon"].to_numpy()[None, :] - pad_lon)
-        & (plon[:, None] <= bdf["max_lon"].to_numpy()[None, :] + pad_lon)
+    pair_pt, pair_bld = _bbox_pairs(
+        plat, plon,
+        bdf["min_lat"].to_numpy(), bdf["max_lat"].to_numpy(),
+        bdf["min_lon"].to_numpy(), bdf["max_lon"].to_numpy(),
+        pad_lat=pad_lat, pad_lon=pad_lon,
     )
-    pair_pt, pair_bld = np.nonzero(near)
     if len(pair_pt) == 0:
         return pd.DataFrame(columns=["addr_id", "building_id", "dist_m", "area_m2"])
-    flat_lat, flat_lon, offsets = geom.flatten_rings(
-        bdf["ring_lats"].to_numpy(), bdf["ring_lons"].to_numpy()
+    flat_lat, flat_lon, ring_off, poly_off = geom.flatten_polys_packed(
+        bdf["ring_lats"].to_numpy(), bdf["ring_lons"].to_numpy(),
+        bdf["hflat_lat"].to_numpy(), bdf["hflat_lon"].to_numpy(),
+        bdf["hole_lens"].to_numpy(),
     )
-    d = geom.pairs_point_to_ring_dist_m(
-        plat, plon, pair_pt, pair_bld, flat_lat, flat_lon, offsets
+    d = geom.pairs_point_to_polys_dist_m(
+        plat, plon, pair_pt, pair_bld, flat_lat, flat_lon, ring_off, poly_off
     )
     ok = d <= cutoff_m
     pi, bi = pair_pt[ok], pair_bld[ok]
@@ -153,8 +202,8 @@ def _with_salt(addresses: DataFrame, buildings_exploded: DataFrame,
 def _cogroup_refine(addresses: DataFrame, buildings: DataFrame, kernel,
                     salt_threshold: int) -> DataFrame:
     """Shuffle path: cogroup on (cell, salt), run the kernel per group."""
-    b_exp = buildings.select(
-        F.explode("cells").alias("cell"), *_BLD_KERNEL_COLS
+    b_exp = _pack_holes(buildings).select(
+        F.explode("cells").alias("cell"), *_BLD_COGROUP_COLS
     )
     a, b = _with_salt(addresses.select("cell", *_ADDR_KERNEL_COLS), b_exp,
                       _salt_factors(addresses, salt_threshold))
@@ -184,9 +233,16 @@ class BldIndex:
         self.min_lon = buildings_pdf["min_lon"].to_numpy(dtype=np.float64)
         self.max_lat = buildings_pdf["max_lat"].to_numpy(dtype=np.float64)
         self.max_lon = buildings_pdf["max_lon"].to_numpy(dtype=np.float64)
-        self.flat_lat, self.flat_lon, self.offsets = geom.flatten_rings(
-            buildings_pdf["ring_lats"].to_numpy(),
-            buildings_pdf["ring_lons"].to_numpy(),
+        holes_la = (buildings_pdf["hole_lats"].to_numpy()
+                    if "hole_lats" in buildings_pdf else None)
+        holes_lo = (buildings_pdf["hole_lons"].to_numpy()
+                    if "hole_lons" in buildings_pdf else None)
+        self.flat_lat, self.flat_lon, self.ring_off, self.poly_off = (
+            geom.flatten_polys(
+                buildings_pdf["ring_lats"].to_numpy(),
+                buildings_pdf["ring_lons"].to_numpy(),
+                holes_la, holes_lo,
+            )
         )
         covers = cells.cover_bbox(
             self.min_lat, self.min_lon, self.max_lat, self.max_lon, level
@@ -260,9 +316,9 @@ def _pip_pairs(plat, plon, addr_ids, index: BldIndex) -> pd.DataFrame:
         & (plon[pair_pt] <= index.max_lon[pair_bld])
     )
     pair_pt, pair_bld = pair_pt[keep], pair_bld[keep]
-    hit = geom.pairs_points_in_rings(
+    hit = geom.pairs_points_in_polys(
         plat, plon, pair_pt, pair_bld,
-        index.flat_lat, index.flat_lon, index.offsets,
+        index.flat_lat, index.flat_lon, index.ring_off, index.poly_off,
     )
     pi, bi = pair_pt[hit], pair_bld[hit]
     return pd.DataFrame(
@@ -306,9 +362,9 @@ def _knn_pairs(plat, plon, addr_ids, index: BldIndex, cutoff_m: float) -> pd.Dat
         & (plon[pair_pt] <= index.max_lon[pair_bld] + pad_lon)
     )
     pair_pt, pair_bld = pair_pt[keep], pair_bld[keep]
-    d = geom.pairs_point_to_ring_dist_m(
+    d = geom.pairs_point_to_polys_dist_m(
         plat, plon, pair_pt, pair_bld,
-        index.flat_lat, index.flat_lon, index.offsets,
+        index.flat_lat, index.flat_lon, index.ring_off, index.poly_off,
     )
     ok = d <= cutoff_m
     pi, bi = pair_pt[ok], pair_bld[ok]
@@ -383,7 +439,8 @@ def _pair_join_candidates(addresses: DataFrame, buildings: DataFrame,
         )
 
     b = buildings.select(
-        "building_id", "ring_lats", "ring_lons", "area_m2",
+        "building_id", "ring_lats", "ring_lons", "hole_lats", "hole_lons",
+        "area_m2",
         F.col("min_lat").alias("b_min_lat"), F.col("min_lon").alias("b_min_lon"),
         F.col("max_lat").alias("b_max_lat"), F.col("max_lon").alias("b_max_lon"),
     ).withColumn(
@@ -418,7 +475,8 @@ def _pair_join_candidates(addresses: DataFrame, buildings: DataFrame,
     # dedup shuffle here
     cand = a.join(b, "fcell").filter(bbox_pred).select(
         "addr_id", "lat", "lon",
-        "building_id", "ring_lats", "ring_lons", "area_m2",
+        "building_id", "ring_lats", "ring_lons", "hole_lats", "hole_lons",
+        "area_m2",
     )
     cutoff = knn_cutoff_m
 
@@ -426,20 +484,21 @@ def _pair_join_candidates(addresses: DataFrame, buildings: DataFrame,
         for pdf in batches:
             if pdf.empty:
                 continue
-            flat_lat, flat_lon, offsets = geom.flatten_rings(
-                pdf["ring_lats"].to_numpy(), pdf["ring_lons"].to_numpy()
+            flat_lat, flat_lon, ring_off, poly_off = geom.flatten_polys(
+                pdf["ring_lats"].to_numpy(), pdf["ring_lons"].to_numpy(),
+                pdf["hole_lats"].to_numpy(), pdf["hole_lons"].to_numpy(),
             )
             idx = np.arange(len(pdf), dtype=np.int64)
             plat = pdf["lat"].to_numpy(dtype=np.float64)
             plon = pdf["lon"].to_numpy(dtype=np.float64)
             if cutoff is None:
-                hit = geom.pairs_points_in_rings(
-                    plat, plon, idx, idx, flat_lat, flat_lon, offsets
+                hit = geom.pairs_points_in_polys(
+                    plat, plon, idx, idx, flat_lat, flat_lon, ring_off, poly_off
                 )
                 out = _flat_pair_frame(pdf, mask=hit)
             else:
-                d = geom.pairs_point_to_ring_dist_m(
-                    plat, plon, idx, idx, flat_lat, flat_lon, offsets
+                d = geom.pairs_point_to_polys_dist_m(
+                    plat, plon, idx, idx, flat_lat, flat_lon, ring_off, poly_off
                 )
                 out = _flat_pair_frame(pdf, dists=d, mask=d <= cutoff)
             if not out.empty:
@@ -512,7 +571,9 @@ def knn_candidates(addresses: DataFrame, buildings: DataFrame,
         addresses.select("cell", *_ADDR_KERNEL_COLS)
         .mapInPandas(expand, schema=a_schema)
     )
-    b_exp = buildings.select(F.explode("cells").alias("cell"), *_BLD_KERNEL_COLS)
+    b_exp = _pack_holes(buildings).select(
+        F.explode("cells").alias("cell"), *_BLD_COGROUP_COLS
+    )
     # factors computed on the un-expanded addresses (1 row per addr,
     # not 9) — avoids re-running the expansion job just for counts
     a, b = _with_salt(a_exp, b_exp, _salt_factors(addresses, salt_threshold))
@@ -551,4 +612,23 @@ def pick_knn_winner(cands: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("addr_id", "building_id", F.lit(config.METHOD_KNN).alias("method"),
                 F.col("dist_m"))
+    )
+
+
+def pick_knn_topk(cands: DataFrame, k: int) -> DataFrame:
+    """Generic k-nearest (k ≥ 1) with the §8.4 deterministic tie order —
+    the reference needs only k=1 (pick_knn_winner), but the candidate
+    generation is k-agnostic (every building within the cutoff surfaces
+    as a candidate), so top-k is just a wider window. Candidates can
+    arrive duplicated (a cover spanning several neighbor cells), so
+    they are deduped per (addr, building) first — row_number over
+    identical rows would otherwise consume ranks."""
+    dedup = cands.groupBy("addr_id", "building_id").agg(
+        F.min("dist_m").alias("dist_m"), F.first("area_m2").alias("area_m2")
+    )
+    w = Window.partitionBy("addr_id").orderBy(F.asc("dist_m"), F.asc("building_id"))
+    return (
+        dedup.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("addr_id", "building_id", "knn_rank", "dist_m")
     )

@@ -13,14 +13,10 @@ rows in the engine's buildings schema.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from mergeaddressesandbuildings_spark import config
-from mergeaddressesandbuildings_spark.functions import cells, geom
 
 
 def resolve_rings(nodes: DataFrame, ways: DataFrame) -> DataFrame:
@@ -64,51 +60,106 @@ def resolve_rings(nodes: DataFrame, ways: DataFrame) -> DataFrame:
 
 def rings_to_buildings(rings: DataFrame,
                        level: int = config.CELL_LEVEL) -> DataFrame:
-    """Ring table → the engine's buildings schema (bbox, centroid,
-    shoelace area, Morton cell cover) via one Arrow pass using the same
-    numpy kernels as web-page extraction — bit-identical derived values
-    regardless of which source produced the ring."""
-    schema = (
-        "building_id long, tags map<string,string>, "
-        "ring_lats array<double>, ring_lons array<double>, "
-        "min_lat double, min_lon double, max_lat double, max_lon double, "
-        "centroid_lat double, centroid_lon double, area_m2 double, "
-        "cell long, cells array<long>"
+    """Ring table (id, tags, ring_lats, ring_lons[, hole_lats,
+    hole_lons]) → the engine's buildings schema (bbox, centroid,
+    shoelace area with holes subtracted, Morton cell cover) — PURE
+    column expressions sharing the extraction's derivation
+    (functions/geom_sql.py, functions/cells_sql.py), so derived values
+    are identical regardless of which source produced the ring."""
+    from mergeaddressesandbuildings_spark.functions import cells_sql, geom_sql
+
+    if "hole_lats" in rings.columns:
+        hole_lats = F.col("hole_lats")
+        hole_lons = F.col("hole_lons")
+    else:
+        hole_lats = F.lit(None).cast("array<array<double>>")
+        hole_lons = F.lit(None).cast("array<array<double>>")
+    ring_lats = F.col("ring_lats")
+    ring_lons = F.col("ring_lons")
+    min_lat = F.array_min(ring_lats)
+    min_lon = F.array_min(ring_lons)
+    max_lat = F.array_max(ring_lats)
+    max_lon = F.array_max(ring_lons)
+    clat = geom_sql.centroid_expr(ring_lats)
+    clon = geom_sql.centroid_expr(ring_lons)
+    return rings.filter(F.size("ring_lats") >= 4).select(
+        F.col("id").alias("building_id"),
+        "tags",
+        ring_lats.alias("ring_lats"),
+        ring_lons.alias("ring_lons"),
+        hole_lats.alias("hole_lats"),
+        hole_lons.alias("hole_lons"),
+        min_lat.alias("min_lat"), min_lon.alias("min_lon"),
+        max_lat.alias("max_lat"), max_lon.alias("max_lon"),
+        clat.alias("centroid_lat"), clon.alias("centroid_lon"),
+        geom_sql.poly_area_m2_expr(
+            ring_lats, ring_lons, hole_lats, hole_lons
+        ).alias("area_m2"),
+        cells_sql.cell_expr(clat, clon, level).alias("cell"),
+        cells_sql.bbox_cover_cells_expr(
+            min_lat, min_lon, max_lat, max_lon, level
+        ).alias("cells"),
     )
 
-    def derive(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            out = []
-            for row in pdf.itertuples(index=False):
-                rlat = np.asarray(row.ring_lats, dtype=np.float64)
-                rlon = np.asarray(row.ring_lons, dtype=np.float64)
-                if len(rlat) < 4:
-                    continue
-                min_lat, min_lon, max_lat, max_lon = geom.ring_bbox(rlat, rlon)
-                clat, clon = geom.ring_centroid(rlat, rlon)
-                cover = cells.cover_bbox(
-                    np.array([min_lat]), np.array([min_lon]),
-                    np.array([max_lat]), np.array([max_lon]), level,
-                )[0]
-                out.append({
-                    "building_id": int(row.id),
-                    "tags": row.tags,
-                    "ring_lats": rlat.tolist(),
-                    "ring_lons": rlon.tolist(),
-                    "min_lat": min_lat, "min_lon": min_lon,
-                    "max_lat": max_lat, "max_lon": max_lon,
-                    "centroid_lat": clat, "centroid_lon": clon,
-                    "area_m2": geom.ring_area_m2(rlat, rlon),
-                    "cell": int(cells.encode(
-                        np.array([clat]), np.array([clon]), level)[0]),
-                    "cells": [int(c) for c in cover],
-                })
-            if out:
-                yield pd.DataFrame(out)
 
-    return rings.mapInPandas(derive, schema=schema)
+def resolve_multipolygons(nodes: DataFrame, ways: DataFrame,
+                          relations: DataFrame) -> DataFrame:
+    """OSM multipolygon relations → polygon rows (id, tags, ring_lats,
+    ring_lons, hole_lats, hole_lons) — the §8.1 ext model (one closed
+    outer way + n closed inner ways; relations whose outer is split
+    across several ways are out of scope and dropped — count upstream).
+
+    Fully distributed: members are exploded with their roles, joined to
+    the resolved ring table on way id (J7), and regrouped per relation.
+    The shuffle keys are way ids / relation ids — no driver collection,
+    unlike the county-boundary assembler below (which stitches ONE
+    small object and may chain split ways)."""
+    rings = resolve_rings(nodes, ways)
+    members = relations.select(
+        F.col("id").alias("rel_id"),
+        F.col("tags").alias("rel_tags"),
+        F.explode(F.arrays_zip("member_refs", "member_roles")).alias("m"),
+    ).select(
+        "rel_id", "rel_tags",
+        F.col("m.member_refs").alias("way_id"),
+        F.col("m.member_roles").alias("role"),
+    ).filter(F.col("role").isin("outer", "inner"))
+    joined = members.join(
+        rings.select(
+            F.col("id").alias("way_id"),
+            "ring_lats", "ring_lons",
+        ),
+        "way_id",
+    ).filter(
+        # closed rings only: first vertex == last vertex
+        (F.size("ring_lats") >= 4)
+        & (F.element_at("ring_lats", 1) == F.element_at("ring_lats", -1))
+        & (F.element_at("ring_lons", 1) == F.element_at("ring_lons", -1))
+    )
+    grouped = joined.groupBy("rel_id").agg(
+        F.first("rel_tags").alias("tags"),
+        F.sort_array(F.collect_list(F.when(F.col("role") == "outer", F.struct(
+            "way_id", "ring_lats", "ring_lons")))).alias("_outers"),
+        F.sort_array(F.collect_list(F.when(F.col("role") == "inner", F.struct(
+            "way_id", "ring_lats", "ring_lons")))).alias("_inners"),
+    )
+    return (
+        grouped.filter(F.size("_outers") == 1)  # single closed outer
+        .select(
+            F.col("rel_id").alias("id"),
+            "tags",
+            F.element_at("_outers", 1)["ring_lats"].alias("ring_lats"),
+            F.element_at("_outers", 1)["ring_lons"].alias("ring_lons"),
+            F.when(
+                F.size("_inners") > 0,
+                F.transform("_inners", lambda s: s["ring_lats"]),
+            ).alias("hole_lats"),
+            F.when(
+                F.size("_inners") > 0,
+                F.transform("_inners", lambda s: s["ring_lons"]),
+            ).alias("hole_lons"),
+        )
+    )
 
 
 def assemble_boundary_ring(nodes: DataFrame, ways: DataFrame,

@@ -108,6 +108,7 @@ def run_merge(
         broadcast_idx = sj.build_broadcast_index(
             buildings.select(
                 "building_id", "ring_lats", "ring_lons",
+                "hole_lats", "hole_lons",
                 "min_lat", "min_lon", "max_lat", "max_lon", "area_m2",
             ).toPandas()
         )

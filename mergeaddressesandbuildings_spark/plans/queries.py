@@ -275,6 +275,45 @@ def error_click_pairs(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 @register(
+    "error_click_top3",
+    """
+    SELECT e.event_id AS error_id, c.event_id AS click_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY c.ts DESC, c.event_id) AS INT) AS rnk,
+           CAST(FLOOR(EPOCH(e.ts)) - FLOOR(EPOCH(c.ts)) AS BIGINT) AS gap_s
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id AND c.event_type = 'click' AND e.event_type = 'error'
+     AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 2 HOUR
+    QUALIFY rnk <= 3
+    """,
+)
+def error_click_top3(spark, sf_dir):
+    """Generic k>1 nearest-within-cutoff (J2 generalization, time axis):
+    the 3 latest clicks within 2 h before each error — same
+    window-top-k shape as spatial_join.pick_knn_topk."""
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id"), F.col("ts").alias("ets")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("cts")
+    )
+    j = errors.join(clicks, "user_id").filter(
+        (F.col("cts") <= F.col("ets"))
+        & (F.col("cts") >= F.col("ets") - F.expr("INTERVAL 2 HOURS"))
+    )
+    w = Window.partitionBy("error_id").orderBy(F.desc("cts"), F.asc("click_id"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "error_id", "click_id", "rnk",
+            (F.col("ets").cast("timestamp").cast("long")
+             - F.col("cts").cast("timestamp").cast("long")).alias("gap_s"),
+        )
+    )
+
+
+@register(
     "top_order_per_customer",
     """
     SELECT o_custkey, o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
@@ -570,6 +609,22 @@ def merge_tiles(spark, sf_dir):
     return t.groupBy("tile").agg(
         F.count("*").alias("n_elements"),
         F.sum(F.when(F.col("elem_kind") == "address", 1).otherwise(0)).alias("n_addresses"),
+    )
+
+
+@register("merge_holes")
+def merge_holes(spark, sf_dir):
+    """§8.1-ext: full merge over the deterministic holed fixture
+    (courtyard buildings, multipolygon semantics). Rows-only — spatial;
+    exactness vs the extended pure-Python oracle is pinned by
+    tests/test_holes.py."""
+    from mergeaddressesandbuildings_spark.plans.merge import run_merge
+    from mergeaddressesandbuildings_spark.sources import pages as pg
+
+    pages, existing = pg.holed_frames(spark)
+    res = run_merge(spark, pages, existing)
+    return res.assignments.select(
+        "addr_id", "url", "building_id", "method", "decision"
     )
 
 

@@ -67,6 +67,8 @@ EXISTING_OSM = T.StructType(
         T.StructField("lat", T.DoubleType(), True),
         T.StructField("lon", T.DoubleType(), True),
         T.StructField("ring", RING, True),
+        # §8.1 ext: hole rings of multipolygon ways (null for plain ways)
+        T.StructField("holes", T.ArrayType(RING), True),
         T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
     ]
 )

@@ -103,33 +103,71 @@ def read_relations(spark: SparkSession, path: str) -> DataFrame:
     return _read(spark, path, 2, RELATIONS_SCHEMA)
 
 
-def to_existing_table(nodes: DataFrame, ways: DataFrame) -> DataFrame:
-    """(nodes, ways) → the engine's existing-OSM table
+def to_existing_table(nodes: DataFrame, ways: DataFrame,
+                      relations: DataFrame | None = None) -> DataFrame:
+    """(nodes, ways[, relations]) → the engine's existing-OSM table
     (schemas.EXISTING_OSM): every node becomes a ``kind='node'`` row,
     every resolvable way a ``kind='way'`` row with its materialized
-    ring — so `.osm` state plugs straight into run_merge(existing_osm=…)."""
+    ring — so `.osm` state plugs straight into run_merge(existing_osm=…).
+
+    With ``relations``, multipolygon relations (closed outer + inner
+    ways) become ``kind='way'`` rows carrying their hole rings
+    (§8.1 ext), and their member ways are excluded from the plain-way
+    rows (the outer would duplicate the polygon)."""
     from pyspark.sql import functions as F
 
-    from mergeaddressesandbuildings_spark.operators.ways import resolve_rings
+    from mergeaddressesandbuildings_spark.operators.ways import (
+        resolve_multipolygons,
+        resolve_rings,
+    )
+
+    ring_t = "array<struct<lat:double,lon:double>>"
+    zip_ring = lambda la, lo: F.zip_with(  # noqa: E731
+        la, lo, lambda a, b: F.struct(a.alias("lat"), b.alias("lon"))
+    )
 
     n = nodes.select(
         F.col("id").alias("elem_id"),
         F.lit("node").alias("kind"),
         "lat", "lon",
-        F.lit(None).cast(
-            "array<struct<lat:double,lon:double>>"
-        ).alias("ring"),
+        F.lit(None).cast(ring_t).alias("ring"),
+        F.lit(None).cast(f"array<{ring_t}>").alias("holes"),
         "tags",
     )
-    w = resolve_rings(nodes, ways).select(
+    plain_ways = ways
+    parts = [n]
+    if relations is not None:
+        members = relations.select(
+            F.explode("member_refs").alias("id")
+        ).distinct()
+        plain_ways = ways.join(members, "id", "left_anti")
+        mp = resolve_multipolygons(nodes, ways, relations).select(
+            F.col("id").alias("elem_id"),
+            F.lit("way").alias("kind"),
+            F.lit(None).cast("double").alias("lat"),
+            F.lit(None).cast("double").alias("lon"),
+            zip_ring("ring_lats", "ring_lons").alias("ring"),
+            F.when(
+                F.col("hole_lats").isNotNull(),
+                F.zip_with(
+                    "hole_lats", "hole_lons",
+                    lambda hla, hlo: zip_ring(hla, hlo),
+                ),
+            ).alias("holes"),
+            "tags",
+        )
+        parts.append(mp)
+    w = resolve_rings(nodes, plain_ways).select(
         F.col("id").alias("elem_id"),
         F.lit("way").alias("kind"),
         F.lit(None).cast("double").alias("lat"),
         F.lit(None).cast("double").alias("lon"),
-        F.zip_with(
-            "ring_lats", "ring_lons",
-            lambda la, lo: F.struct(la.alias("lat"), lo.alias("lon")),
-        ).alias("ring"),
+        zip_ring("ring_lats", "ring_lons").alias("ring"),
+        F.lit(None).cast(f"array<{ring_t}>").alias("holes"),
         "tags",
     )
-    return n.unionByName(w)
+    parts.append(w)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

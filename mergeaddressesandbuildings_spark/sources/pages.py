@@ -254,7 +254,105 @@ def gen_existing_pdf(page_ids) -> pd.DataFrame:
     rows: list[dict] = []
     for i in page_ids:
         rows.extend(_gen_page(int(i))[1])
-    return pd.DataFrame(rows, columns=["elem_id", "kind", "lat", "lon", "ring", "tags"])
+    return pd.DataFrame(
+        rows, columns=["elem_id", "kind", "lat", "lon", "ring", "holes", "tags"]
+    )
+
+
+def holed_fixture_rows():
+    """Deterministic §8.1-ext fixture: courtyard buildings, hole-aware
+    area tie-breaks, J3 building-in-courtyard cases. Kept SEPARATE from
+    the main generator so the hole-free golden fingerprints stay
+    frozen. → (page_rows, existing_rows) — plain dicts, shared by the
+    engine tests, the pure-Python oracle, and the driver query
+    (plans/queries.py `merge_holes`)."""
+    import datetime as _dt
+
+    ts0 = _dt.datetime(2025, 3, 1, tzinfo=_dt.timezone.utc)
+    pages, existing = [], []
+
+    def page(i, records):
+        url = f"https://holes.test/{i:04d}"
+        html = _render_html(url, records, "en", PageRng(10_000 + i))
+        pages.append({
+            "url": url, "warc_ts": ts0 + _dt.timedelta(minutes=i),
+            "html": html, "text": textx.extract_text(html), "lang": "en",
+        })
+
+    def donut(clat, clon, outer_m, hole_m):
+        return (_rect_ring(clat, clon, outer_m, outer_m),
+                _rect_ring(clat, clon, hole_m, hole_m))
+
+    base_lat, base_lon = 34.80, -82.45
+
+    o1, h1 = donut(base_lat, base_lon, 120.0, 60.0)
+    page(1, [
+        {"kind": "building", "ring": o1, "holes": [h1], "tags": {"building": "yes"}},
+        {"kind": "address", "lat": base_lat, "lon": base_lon,
+         "housenumber": "10", "street": "Courtyard St"},
+    ])
+    o2, h2 = donut(base_lat + 0.01, base_lon, 120.0, 40.0)
+    page(2, [
+        {"kind": "building", "ring": o2, "holes": [h2], "tags": {"building": "yes"}},
+        {"kind": "address", "lat": base_lat + 0.01,
+         "lon": base_lon + _m_to_dlon(45.0, base_lat + 0.01),
+         "housenumber": "20", "street": "Solid Ave"},
+    ])
+    lat3 = base_lat + 0.02
+    o3, h3 = donut(lat3, base_lon, 60.0, 30.0)
+    page(3, [
+        {"kind": "building", "ring": o3, "holes": [h3], "tags": {"building": "yes"}},
+        {"kind": "building", "ring": _rect_ring(lat3, base_lon, 55.0, 55.0),
+         "tags": {"building": "yes"}},
+        {"kind": "address", "lat": lat3, "lon": base_lon + _m_to_dlon(20.0, lat3),
+         "housenumber": "30", "street": "Tiebreak Rd"},
+    ])
+    lat4 = base_lat + 0.03
+    o4, h4 = donut(lat4, base_lon, 150.0, 80.0)
+    existing.append({
+        "elem_id": 9_000_004, "kind": "way", "lat": None, "lon": None,
+        "ring": o4, "holes": [h4], "tags": {"building": "yes"},
+    })
+    page(4, [
+        {"kind": "building", "ring": _rect_ring(lat4, base_lon, 30.0, 30.0),
+         "tags": {"building": "yes"}},
+        {"kind": "address", "lat": lat4, "lon": base_lon,
+         "housenumber": "40", "street": "Inner Ct"},
+    ])
+    lat5 = base_lat + 0.04
+    o5, h5 = donut(lat5, base_lon, 150.0, 80.0)
+    existing.append({
+        "elem_id": 9_000_005, "kind": "way", "lat": None, "lon": None,
+        "ring": o5, "holes": [h5], "tags": {"building": "yes"},
+    })
+    page(5, [
+        {"kind": "building",
+         "ring": _rect_ring(lat5, base_lon + _m_to_dlon(40.0, lat5), 30.0, 30.0),
+         "tags": {"building": "yes"}},
+    ])
+    lat6 = base_lat + 0.05
+    o6, h6 = donut(lat6, base_lon, 600.0, 450.0)
+    page(6, [
+        {"kind": "building", "ring": o6, "holes": [h6], "tags": {"building": "yes"}},
+        {"kind": "address", "lat": lat6, "lon": base_lon,
+         "housenumber": "60", "street": "Far Ct"},
+    ])
+    return pages, existing
+
+
+def holed_frames(spark):
+    """holed_fixture_rows → (pages DF, existing DF) in engine schemas."""
+    page_rows, existing_rows = holed_fixture_rows()
+    pages = spark.createDataFrame(page_rows, schema=schemas.PAGES)
+    ex = [
+        {**e,
+         "ring": [{"lat": p[0], "lon": p[1]} for p in e["ring"]],
+         "holes": None if not e.get("holes")
+         else [[{"lat": p[0], "lon": p[1]} for p in h] for h in e["holes"]]}
+        for e in existing_rows
+    ]
+    existing = spark.createDataFrame(ex, schema=schemas.EXISTING_OSM)
+    return pages, existing
 
 
 def pages_df(spark, n_pages: int, partitions: int | None = None):
@@ -273,8 +371,13 @@ def existing_osm_df(spark, n_pages: int, partitions: int | None = None):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             pdf = gen_existing_pdf(b["id"].to_numpy())
+            to_structs = lambda r: [{"lat": p[0], "lon": p[1]} for p in r]  # noqa: E731
             pdf["ring"] = pdf["ring"].map(
-                lambda r: None if r is None else [{"lat": p[0], "lon": p[1]} for p in r]
+                lambda r: None if r is None else to_structs(r)
+            )
+            pdf["holes"] = pdf["holes"].map(
+                lambda hs: None if hs is None or (isinstance(hs, float))
+                else [to_structs(h) for h in hs]
             )
             yield pdf
 

@@ -80,6 +80,30 @@ def ring_centroid(ring):
     return (sum(p[0] for p in pts) / len(pts), sum(p[1] for p in pts) / len(pts))
 
 
+def point_in_poly(lat, lon, outer, holes):
+    """§8.1 ext: even-odd parity over outer + hole rings; on ANY ring
+    edge counts inside. Independent formulation (+lon raycast)."""
+    rings = [outer] + list(holes or [])
+    crossings = 0
+    for ring in rings:
+        for (y1, x1), (y2, x2) in zip(ring[:-1], ring[1:]):
+            if on_segment(lon, lat, x1, y1, x2, y2):
+                return True
+            if (y1 <= lat < y2) or (y2 <= lat < y1):
+                t = (lat - y1) / (y2 - y1)
+                if x1 + t * (x2 - x1) > lon:
+                    crossings += 1
+    return crossings % 2 == 1
+
+
+def point_to_poly_m(lat, lon, outer, holes):
+    return min(point_to_ring_m(lat, lon, r) for r in [outer] + list(holes or []))
+
+
+def poly_area_m2(outer, holes):
+    return ring_area_m2(outer) - sum(ring_area_m2(h) for h in (holes or []))
+
+
 def seg_intersect(p1, p2, p3, p4, eps=1e-15):
     """Parametric segment intersection (incl. touching)."""
     x1, y1 = p1; x2, y2 = p2; x3, y3 = p3; x4, y4 = p4
@@ -98,6 +122,22 @@ def rings_overlap(a, b):
             if seg_intersect((s1[1], s1[0]), (s2[1], s2[0]), (s3[1], s3[0]), (s4[1], s4[0])):
                 return True
     return point_in_ring(a[0][0], a[0][1], b) or point_in_ring(b[0][0], b[0][1], a)
+
+
+def polys_overlap(a_outer, a_holes, b_outer, b_holes):
+    """§8.1 ext: any ring-pair edge intersection, else outer-vertex
+    containment with holes respected (inside a courtyard ≠ overlap)."""
+    a_rings = [a_outer] + list(a_holes or [])
+    b_rings = [b_outer] + list(b_holes or [])
+    for ra in a_rings:
+        for rb in b_rings:
+            for s1, s2 in zip(ra[:-1], ra[1:]):
+                for s3, s4 in zip(rb[:-1], rb[1:]):
+                    if seg_intersect((s1[1], s1[0]), (s2[1], s2[0]),
+                                     (s3[1], s3[0]), (s4[1], s4[0])):
+                        return True
+    return (point_in_poly(a_outer[0][0], a_outer[0][1], b_outer, b_holes)
+            or point_in_poly(b_outer[0][0], b_outer[0][1], a_outer, a_holes))
 
 
 # ---------- Morton cells (per-bit independent implementation) ----------
@@ -132,6 +172,7 @@ class Bld:
     ring: list
     tags: dict = field(default_factory=dict)
     existing: bool = False
+    holes: list = field(default_factory=list)  # §8.1 ext
 
     @property
     def bbox(self):
@@ -171,10 +212,18 @@ def run_oracle(page_rows, existing_rows, level=config.CELL_LEVEL,
                     ids.stable_id64("b", r["url"], rec["record_idx"]),
                     [(float(p[0]), float(p[1])) for p in rec["ring"]],
                     rec.get("tags") or {},
+                    holes=[
+                        [(float(p[0]), float(p[1])) for p in h]
+                        for h in (rec.get("holes") or []) if len(h) >= 4
+                    ],
                 ))
 
     ex_ways = [Bld(e["elem_id"], [(float(p[0]), float(p[1])) for p in e["ring"]],
-                   e.get("tags") or {}, existing=True)
+                   e.get("tags") or {}, existing=True,
+                   holes=[
+                       [(float(p[0]), float(p[1])) for p in h]
+                       for h in (e.get("holes") or [])
+                   ])
                for e in existing_rows if e["kind"] == "way" and e.get("ring")]
     ex_nodes = [e for e in existing_rows
                 if e["kind"] == "node" and (e.get("tags") or {}).get("addr:housenumber")]
@@ -182,7 +231,7 @@ def run_oracle(page_rows, existing_rows, level=config.CELL_LEVEL,
     # J3: drop new buildings overlapping an existing way
     kept_blds = []
     for b in blds:
-        if any(rings_overlap(b.ring, e.ring) for e in ex_ways):
+        if any(polys_overlap(b.ring, b.holes, e.ring, e.holes) for e in ex_ways):
             continue
         kept_blds.append(b)
     universe = kept_blds + ex_ways
@@ -210,15 +259,15 @@ def run_oracle(page_rows, existing_rows, level=config.CELL_LEVEL,
         for b in universe:
             mn_lat, mn_lon, mx_lat, mx_lon = b.bbox
             if mn_lat <= a.lat <= mx_lat and mn_lon <= a.lon <= mx_lon \
-                    and point_in_ring(a.lat, a.lon, b.ring):
+                    and point_in_poly(a.lat, a.lon, b.ring, b.holes):
                 pip.append(b)
         if pip:
-            win = min(pip, key=lambda b: (ring_area_m2(b.ring), b.building_id))
+            win = min(pip, key=lambda b: (poly_area_m2(b.ring, b.holes), b.building_id))
             assignments[a.addr_id] = (a, win, "PIP", 0.0)
             continue
         best, best_d = None, None
         for b in universe:
-            d = point_to_ring_m(a.lat, a.lon, b.ring)
+            d = point_to_poly_m(a.lat, a.lon, b.ring, b.holes)
             if d <= cutoff and (best is None or (d, b.building_id) < (best_d, best.building_id)):
                 best, best_d = b, d
         if best is not None:

@@ -36,7 +36,7 @@ def test_pip_strategy_equivalence(spark, corpus):
     addresses, buildings = corpus
     bidx = sj.build_broadcast_index(
         buildings.select(
-            "building_id", "ring_lats", "ring_lons",
+            "building_id", "ring_lats", "ring_lons", "hole_lats", "hole_lons",
             "min_lat", "min_lon", "max_lat", "max_lon", "area_m2",
         ).toPandas()
     )
@@ -50,11 +50,51 @@ def test_pip_strategy_equivalence(spark, corpus):
     assert bc[1] > 0
 
 
+def test_knn_topk_matches_bruteforce(spark, corpus):
+    """Generic k=3 kNN (pick_knn_topk) equals a brute-force
+    all-buildings scan within the cutoff, with the §8.4 tie order."""
+    import numpy as np
+
+    from mergeaddressesandbuildings_spark.functions import geom
+
+    addresses, buildings = corpus
+    cands = sj.knn_candidates(addresses, buildings, strategy="pairjoin")
+    got = {}
+    for r in sj.pick_knn_topk(cands, k=3).collect():
+        got.setdefault(r["addr_id"], []).append(
+            (r["knn_rank"], r["building_id"], r["dist_m"]))
+    for v in got.values():
+        v.sort()
+
+    apdf = addresses.select("addr_id", "lat", "lon").toPandas()
+    bpdf = buildings.select("building_id", "ring_lats", "ring_lons").toPandas()
+    flat_lat, flat_lon, off = geom.flatten_rings(
+        bpdf["ring_lats"].to_numpy(), bpdf["ring_lons"].to_numpy())
+    bids = bpdf["building_id"].to_numpy()
+    want = {}
+    n_b = len(bids)
+    aids = apdf["addr_id"].to_numpy(dtype=np.int64)
+    alats = apdf["lat"].to_numpy(dtype=np.float64)
+    alons = apdf["lon"].to_numpy(dtype=np.float64)
+    for j in range(len(aids)):
+        pts = np.zeros(n_b, dtype=np.int64)
+        rings = np.arange(n_b, dtype=np.int64)
+        d = geom.pairs_point_to_ring_dist_m(
+            np.array([alats[j]]), np.array([alons[j]]),
+            pts, rings, flat_lat, flat_lon, off)
+        ok = d <= config.KNN_CUTOFF_M
+        ranked = sorted(zip(d[ok], bids[ok]))[:3]
+        if ranked:
+            want[int(aids[j])] = [
+                (i + 1, int(b), float(dd)) for i, (dd, b) in enumerate(ranked)]
+    assert got == want
+
+
 def test_knn_strategy_equivalence(spark, corpus):
     addresses, buildings = corpus
     bidx = sj.build_broadcast_index(
         buildings.select(
-            "building_id", "ring_lats", "ring_lons",
+            "building_id", "ring_lats", "ring_lons", "hole_lats", "hole_lons",
             "min_lat", "min_lon", "max_lat", "max_lon", "area_m2",
         ).toPandas()
     )

@@ -64,3 +64,34 @@ def test_ivf_topk_matches_bruteforce_top1(spark):
                                          n_probe=2).collect()}
     hits = sum(1 for qid, vid in ivf2.items() if vid == n + qid)
     assert hits >= 4  # 5 queries, allow one list-boundary miss
+
+
+def test_ivf_kmeans_training_improves_partial_probe_recall(spark):
+    """The trained quantizer's partial-probe top-1 recall (vs brute
+    force) must be at least the untrained random-direction quantizer's
+    on a clustered corpus (where k-means genuinely helps)."""
+    from mergeaddressesandbuildings_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((6, 64)) * 3.0
+    rows = []
+    for i in range(180):
+        v = centers[i % 6] + 0.4 * rng.standard_normal(64)
+        rows.append({"vec_id": i, "embedding": v.astype(np.float32).tolist()})
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+    qs = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding"))
+    bf = {r["qid"]: r["vec_id"]
+          for r in sim.cosine_topk_bruteforce(emb, qs, k=1).collect()}
+
+    def recall(train_iters):
+        got = {r["qid"]: r["vec_id"]
+               for r in sim.cosine_topk_ivf(
+                   emb, qs, k=1, n_centroids=6, n_probe=1,
+                   train_iters=train_iters).collect()}
+        return sum(1 for q, v in bf.items() if got.get(q) == v)
+
+    r_untrained = recall(0)
+    r_trained = recall(3)
+    assert r_trained >= r_untrained
+    assert r_trained >= 10  # 12 queries: trained quantizer ≈ true clusters
