@@ -20,6 +20,7 @@ kernels (extraction, PIP/kNN refine, tile encode).
 
 from __future__ import annotations
 
+import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -48,6 +49,23 @@ class MergeResult:
     # directly instead of re-deriving it — jobs/merge.py)
 
 
+def _lineage_barrier(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` to scratch parquet and re-read it — truncating plan
+    lineage. The merge DAG fans each intermediate table into several
+    consumers; without a barrier every downstream action re-analyzes the
+    FULL upstream logical plan (hundreds of operators), and on this
+    pipeline the driver-side planning cost dominates small-scale runs
+    (~4-8 s per action measured at 20k pages even with every input
+    cached). The barriered tables (addresses, buildings, assignments)
+    are orders of magnitude smaller than the raw pages input, so at
+    cluster scale the extra write is modest and buys O(1) plan size for
+    the whole downstream DAG plus restartability. (`localCheckpoint`
+    would do the same but materializes via the non-AQE `.rdd` path,
+    measured ~7x slower — parquet round-trip is the fast barrier.)"""
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def run_merge(
     spark: SparkSession,
     pages: DataFrame,
@@ -58,7 +76,13 @@ def run_merge(
     salt_threshold: int = config.SALT_THRESHOLD,
     broadcast_max: int = config.BROADCAST_BUILDINGS_MAX,
     county_ring: tuple | None = None,
+    barrier_dir: str | None = "auto",
 ) -> MergeResult:
+    """See module docstring. ``barrier_dir``: scratch directory for
+    lineage barriers (parquet write + re-read of the small intermediate
+    tables); ``"auto"`` creates a temp dir, ``None`` disables barriers
+    (pure-lazy mode — correct but slow, the persisted frames keep full
+    lineage and every downstream action pays plan re-analysis)."""
     # parquet splitting is SIZE-based; page html is small but extraction
     # is CPU-heavy per row, so a compact fixture scan yields far fewer
     # partitions than cores and the Arrow kernels run almost serial.
@@ -97,8 +121,19 @@ def run_merge(
     else:
         buildings = new_buildings
 
-    addresses = addresses.persist(StorageLevel.MEMORY_AND_DISK)
-    buildings = buildings.persist(StorageLevel.MEMORY_AND_DISK)
+    if barrier_dir == "auto":
+        barrier_dir = tempfile.mkdtemp(prefix="merge_barrier_")
+    if barrier_dir is not None:
+        # lineage barrier #1: addresses/buildings feed four downstream
+        # consumers each (PIP, kNN, decisions, tiling) — cap the plan
+        # they all inherit. This is also the cache-consistency barrier
+        # (parquet is immutable, so the parallel stage submission race
+        # that lazily-persisted frames suffer cannot occur).
+        addresses = _lineage_barrier(spark, addresses, f"{barrier_dir}/addresses")
+        buildings = _lineage_barrier(spark, buildings, f"{barrier_dir}/buildings")
+    else:
+        addresses = addresses.persist(StorageLevel.MEMORY_AND_DISK)
+        buildings = buildings.persist(StorageLevel.MEMORY_AND_DISK)
 
     # J6 broadcast decision: small building side → ship as closure, no
     # shuffle at all. (On a cluster this is the per-region fast path.)
@@ -132,8 +167,14 @@ def run_merge(
     knn_winners.count()
 
     assignments = dec.assign(addresses, pip_winners, knn_winners, buildings)
-    assignments = assignments.persist(StorageLevel.MEMORY_AND_DISK)
-    assignments.count()  # see pip_winners note: materialize before fan-out
+    if barrier_dir is not None:
+        # lineage barrier #2: assignments fan into output sets, tiling,
+        # and the caller's writes.
+        assignments = _lineage_barrier(
+            spark, assignments, f"{barrier_dir}/assignments")
+    else:
+        assignments = assignments.persist(StorageLevel.MEMORY_AND_DISK)
+        assignments.count()  # see pip_winners note: materialize before fan-out
     sets = dec.output_sets(assignments, buildings)
 
     points = tiling.tile_points(assignments, buildings)
