@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--existing-path", default=None, help="read existing-OSM table instead of generating")
     ap.add_argument("--existing-osm-xml", default=None,
                     help="read existing-OSM state from .osm XML files (reference's native format)")
+    ap.add_argument("--existing-osm-pbf", default=None,
+                    help="read existing-OSM state from .osm.pbf files (compact binary format)")
     ap.add_argument("--format", default="parquet",
                     help="input table format: parquet (default) or iceberg (needs runtime jars; paths are then catalog identifiers)")
     ap.add_argument("--out", required=True)
@@ -69,6 +71,13 @@ def main() -> None:
             osm_xml.read_nodes(spark, args.existing_osm_xml),
             osm_xml.read_ways(spark, args.existing_osm_xml),
             osm_xml.read_relations(spark, args.existing_osm_xml),
+        )
+    elif args.existing_osm_pbf:
+        from mergeaddressesandbuildings_spark.sources import osm_pbf, osm_xml
+        existing = osm_xml.to_existing_table(
+            osm_pbf.read_nodes(spark, args.existing_osm_pbf),
+            osm_pbf.read_ways(spark, args.existing_osm_pbf),
+            osm_pbf.read_relations(spark, args.existing_osm_pbf),
         )
     elif args.existing_path:
         existing = catalog.read_table(spark, args.existing_path, args.format)

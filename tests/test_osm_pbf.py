@@ -1,0 +1,182 @@
+"""S2b OSM PBF reader/writer: wire-format kernels, writer→reader
+round-trip identity, XML↔PBF table parity (same fixture through both
+readers ⇒ identical DataFrames), and the multi-blob parallel read
+path."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mergeaddressesandbuildings_spark.sources import osm_pbf, osm_xml
+
+NANO100 = 1e-9  # writer grid: coords are multiples of granularity=100 nano-deg
+
+
+def _coord(nano100: int) -> float:
+    """A coordinate exactly representable on the PBF grid, computed with
+    the same float ops the decoder uses (int → float64 multiply)."""
+    return (100 * nano100) * NANO100
+
+
+def _fixture():
+    """Nodes/ways/relations row dicts on the PBF coordinate grid —
+    including a multipolygon with a hole, a tagless node, and negative
+    ids/deltas (ids out of order force negative delta encoding)."""
+    def n(i, la, lo, tags=None):
+        return {"id": i, "lat": _coord(la), "lon": _coord(lo), "tags": tags or {}}
+
+    nodes = [
+        n(10, 348000000, -824000000, {"addr:housenumber": "12",
+                                      "addr:street": "Main St"}),
+        n(2, 348000000, -823990000),
+        n(3, 348010000, -823990000),
+        n(4, 348010000, -824000000),
+        n(99, 348002000, -823996000),   # hole ring corner
+        n(98, 348002000, -823994000),
+        n(97, 348004000, -823994000),
+        n(96, 348004000, -823996000),
+    ]
+    ways = [
+        {"id": 100, "node_refs": [2, 3, 4, 2], "tags": {"building": "house"}},
+        {"id": 101, "node_refs": [2, 3, 4, 99, 2], "tags": {}},
+        {"id": 102, "node_refs": [99, 98, 97, 96, 99], "tags": {}},
+    ]
+    relations = [
+        {"id": 200, "member_refs": [101, 102],
+         "member_roles": ["outer", "inner"],
+         "tags": {"type": "multipolygon", "building": "yes"}},
+    ]
+    return nodes, ways, relations
+
+
+def _to_xml(nodes, ways, relations) -> str:
+    out = ['<?xml version="1.0" encoding="UTF-8"?>', '<osm version="0.6">']
+    for n in nodes:
+        tags = "".join(f'<tag k="{k}" v="{v}"/>' for k, v in n["tags"].items())
+        out.append(f'<node id="{n["id"]}" lat="{n["lat"]!r}" '
+                   f'lon="{n["lon"]!r}">{tags}</node>')
+    for w in ways:
+        nds = "".join(f'<nd ref="{r}"/>' for r in w["node_refs"])
+        tags = "".join(f'<tag k="{k}" v="{v}"/>' for k, v in w["tags"].items())
+        out.append(f'<way id="{w["id"]}">{nds}{tags}</way>')
+    for r in relations:
+        mem = "".join(
+            f'<member type="way" ref="{m}" role="{ro}"/>'
+            for m, ro in zip(r["member_refs"], r["member_roles"])
+        )
+        tags = "".join(f'<tag k="{k}" v="{v}"/>' for k, v in r["tags"].items())
+        out.append(f'<relation id="{r["id"]}">{mem}{tags}</relation>')
+    out.append("</osm>")
+    return "\n".join(out)
+
+
+def test_packed_varint_kernel_roundtrip():
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        np.array([0, 1, 127, 128, 2**32 - 1, 2**63, 2**64 - 1], dtype=np.uint64),
+        rng.integers(0, 2**63, size=500).astype(np.uint64),
+    ])
+    buf = b"".join(osm_pbf._encode_varint(int(v)) for v in vals)
+    out = osm_pbf._decode_packed_varints(buf)
+    assert np.array_equal(out, vals)
+
+
+def test_zigzag_roundtrip():
+    vals = np.array([0, -1, 1, -2, 2**62, -(2**62), 12345, -98765], dtype=np.int64)
+    enc = np.array([osm_pbf._zigzag(int(v)) for v in vals], dtype=np.uint64)
+    assert np.array_equal(osm_pbf._unzigzag(enc), vals)
+
+
+def test_writer_reader_roundtrip(spark, tmp_path):
+    nodes, ways, relations = _fixture()
+    path = str(tmp_path / "t.osm.pbf")
+    osm_pbf.write_pbf(path, nodes, ways, relations)
+
+    got_n = {r["id"]: r for r in osm_pbf.read_nodes(spark, path).collect()}
+    assert set(got_n) == {n["id"] for n in nodes}
+    for n in nodes:
+        g = got_n[n["id"]]
+        assert g["lat"] == n["lat"] and g["lon"] == n["lon"]
+        assert dict(g["tags"]) == n["tags"]
+
+    got_w = {r["id"]: r for r in osm_pbf.read_ways(spark, path).collect()}
+    assert set(got_w) == {100, 101, 102}
+    for w in ways:
+        g = got_w[w["id"]]
+        assert list(g["node_refs"]) == w["node_refs"]
+        assert dict(g["tags"]) == w["tags"]
+
+    got_r = osm_pbf.read_relations(spark, path).collect()
+    assert len(got_r) == 1
+    assert list(got_r[0]["member_refs"]) == [101, 102]
+    assert list(got_r[0]["member_roles"]) == ["outer", "inner"]
+    assert dict(got_r[0]["tags"])["type"] == "multipolygon"
+
+
+def test_xml_pbf_table_parity(spark, tmp_path):
+    """The same state through the XML reader and the PBF reader yields
+    identical tables — so every downstream operator (ring resolution,
+    multipolygon assembly, merge) is format-agnostic."""
+    nodes, ways, relations = _fixture()
+    xml_path = str(tmp_path / "t.osm")
+    pbf_path = str(tmp_path / "t.osm.pbf")
+    (tmp_path / "t.osm").write_text(_to_xml(nodes, ways, relations))
+    osm_pbf.write_pbf(pbf_path, nodes, ways, relations)
+
+    for reader_x, reader_p in [
+        (osm_xml.read_nodes, osm_pbf.read_nodes),
+        (osm_xml.read_ways, osm_pbf.read_ways),
+        (osm_xml.read_relations, osm_pbf.read_relations),
+    ]:
+        a = sorted((r.asDict(True) for r in reader_x(spark, xml_path).collect()),
+                   key=lambda r: r["id"])
+        b = sorted((r.asDict(True) for r in reader_p(spark, pbf_path).collect()),
+                   key=lambda r: r["id"])
+        assert a == b
+
+    # and the merged existing-OSM table (incl. the holed multipolygon)
+    ex_x = osm_xml.to_existing_table(
+        osm_xml.read_nodes(spark, xml_path),
+        osm_xml.read_ways(spark, xml_path),
+        osm_xml.read_relations(spark, xml_path),
+    )
+    ex_p = osm_xml.to_existing_table(
+        osm_pbf.read_nodes(spark, pbf_path),
+        osm_pbf.read_ways(spark, pbf_path),
+        osm_pbf.read_relations(spark, pbf_path),
+    )
+    a = sorted((r.asDict(True) for r in ex_x.collect()),
+               key=lambda r: (r["kind"], r["elem_id"]))
+    b = sorted((r.asDict(True) for r in ex_p.collect()),
+               key=lambda r: (r["kind"], r["elem_id"]))
+    assert a == b
+    holed = [r for r in a if r["holes"]]
+    assert len(holed) == 1 and holed[0]["elem_id"] == 200
+
+
+def test_multiblob_parallel_read(spark, tmp_path):
+    """Small nodes_per_block forces a multi-blob file; the blob index
+    fans out one task per blob and every node survives (delta chains
+    reset per blob by spec)."""
+    rng = np.random.default_rng(11)
+    base_la, base_lo = 348000000, -824000000
+    nodes = [
+        {"id": 1_000 + i,
+         "lat": _coord(base_la + int(rng.integers(0, 90000))),
+         "lon": _coord(base_lo + int(rng.integers(0, 90000))),
+         "tags": ({"addr:housenumber": str(i)} if i % 3 == 0 else {})}
+        for i in range(5000)
+    ]
+    path = str(tmp_path / "big.osm.pbf")
+    n_blobs = osm_pbf.write_pbf(path, nodes, nodes_per_block=500)
+    assert n_blobs == 10
+    assert len(osm_pbf.scan_blobs(path)) == 10
+
+    df = osm_pbf.read_nodes(spark, path)
+    assert df.rdd.getNumPartitions() == 10
+    got = {r["id"]: r for r in df.collect()}
+    assert len(got) == 5000
+    for n in nodes[::761]:
+        g = got[n["id"]]
+        assert g["lat"] == n["lat"] and g["lon"] == n["lon"]
+        assert dict(g["tags"]) == n["tags"]
