@@ -57,6 +57,24 @@ def ring_area_m2_expr(ring_lats: Column, ring_lons: Column) -> Column:
     return F.abs(s) / F.lit(2.0)
 
 
+def flat_dist_m_expr(lat1: Column, lon1: Column, lat2: Column, lon2: Column,
+                     cos_lat0: Column) -> Column:
+    """Equirectangular (flat-projection) distance in meters (F1's
+    small-area fast path): ``sqrt((Δlat·ky)² + (Δlon·kx)²)`` with
+    ``ky = DEG_TO_M``, ``kx = DEG_TO_M·cos_lat0``. Every operation is a
+    correctly-rounded IEEE primitive (mul/add/sqrt — no trig at eval
+    time when ``cos_lat0`` is a literal), so an oracle engine running
+    the textually-identical formula produces bit-identical doubles —
+    which is what lets kNN *ranking* be hash-compared cross-engine
+    (haversine trig differs sub-ULP between libms and can flip ranks of
+    near-equal distances)."""
+    ky = F.lit(config.DEG_TO_M)
+    kx = F.lit(config.DEG_TO_M) * cos_lat0
+    dy = (lat2 - lat1) * ky
+    dx = (lon2 - lon1) * kx
+    return F.sqrt(dy * dy + dx * dx)
+
+
 def poly_area_m2_expr(ring_lats: Column, ring_lons: Column,
                       hole_lats: Column, hole_lons: Column) -> Column:
     """Polygon-with-holes area: outer shoelace − Σ hole shoelaces (each

@@ -239,3 +239,74 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def dup_clusters(pairs: DataFrame,
+                 a_col: str = "doc_a", b_col: str = "doc_b",
+                 max_iters: int = 50) -> DataFrame:
+    """Connected components over a near-dup pair graph →
+    ``(doc_id, cluster_id)`` with ``cluster_id = min doc id reachable``
+    — the step that turns pairwise dedup verdicts into keep-one-per-
+    cluster groups in a training-data pipeline.
+
+    Algorithm: hash-min label propagation (the standard Pregel-style
+    formulation). Each round every vertex takes the min of its own
+    label and its neighbors' labels — one equi-join + one hash agg per
+    round, both map-side combinable; rounds needed = graph diameter
+    (near-dup clusters are shallow — dozens of rounds covers planetary
+    corpora, and the loop exits as soon as a round changes nothing).
+    Labels are parquet-barriered every round (plans/merge.py pattern):
+    iterative self-joins otherwise double the logical plan per round,
+    which is quadratic driver work by round 10.
+
+    The driver-loop-with-convergence-check is the documented exception
+    to "no driver loops" (SURVEY.md §2.11): the loop count is
+    O(diameter), data never leaves executors (the only collect is the
+    1-row convergence count).
+    """
+    import tempfile
+
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    scratch = tempfile.mkdtemp(prefix="dup_clusters_")
+    edges.write.mode("overwrite").parquet(f"{scratch}/edges")
+    edges = spark.read.parquet(f"{scratch}/edges")
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for it in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src").agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels.write.mode("overwrite").parquet(f"{scratch}/labels_{it}")
+        new_labels = spark.read.parquet(f"{scratch}/labels_{it}")
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -536,6 +536,45 @@ def doc_ngram_pairs(spark, sf_dir):
     return doc_dedupe.ngram_jaccard_pairs(docs, n=2, min_common=10)
 
 
+@register(
+    "doc_dup_clusters",
+    """
+    WITH RECURSIVE
+    w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 150),
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)
+    ),
+    prs AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+              UNION SELECT doc_b, doc_a FROM prs),
+    reach(src, dst) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def doc_dup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components (hash-min label
+    propagation; doc_dedupe.dup_clusters) vs DuckDB's recursive-CTE
+    transitive closure — the keep-one-per-cluster step of a dedup
+    pipeline, oracle-paired end to end (pairs + clustering)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = doc_dedupe.ngram_jaccard_pairs(docs, n=2, min_common=10)
+    return (
+        doc_dedupe.dup_clusters(pairs)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("cluster_id").cast("long").alias("cluster_id"))
+    )
+
+
 # ---------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------
@@ -986,6 +1025,83 @@ def haversine_to_hq(spark, sf_dir):
         F.round(
             haversine_m_col(F.col("lat"), F.col("lon"), F.lit(34.85), F.lit(-82.4))
         ).cast("long").alias("dist_m"),
+    )
+
+
+# flat-distance constants, inlined to full precision on BOTH sides so
+# every arithmetic step is a correctly-rounded IEEE primitive on
+# identical bits (see geom_sql.flat_dist_m_expr) — raw doubles then
+# hash-compare cross-engine, including the rank order and the cutoff.
+# Every literal is CAST(... AS DOUBLE): DuckDB otherwise parses plain
+# decimal literals as DECIMAL and multiplies them EXACTLY before
+# converting, which lands 1 ULP off the double×double product.
+_COS348_F = 0.821149209133704            # cos(34.8°)
+_D = lambda x: f"CAST({x!r} AS DOUBLE)"  # noqa: E731
+_KY = _D(111195.08023353292)             # config.DEG_TO_M
+_COS348 = _D(_COS348_F)
+_KNN_TOPK_ORACLE = f"""
+    WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                      {_D(34.8)} + CAST(c_custkey % 41 AS DOUBLE) * {_D(0.00009)} AS lat,
+                      {_D(-82.4)} + CAST(c_custkey % 43 AS DOUBLE) * {_D(0.00009)} AS lon
+               FROM customer),
+    s AS (SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+                 {_D(34.8)} + CAST(s_suppkey % 13 AS DOUBLE) * {_D(0.00027)} AS lat,
+                 {_D(-82.4)} + CAST(s_suppkey % 17 AS DOUBLE) * {_D(0.00022)} AS lon
+          FROM supplier),
+    pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             SQRT(((s.lat - c.lat) * {_KY}) * ((s.lat - c.lat) * {_KY})
+                + ((s.lon - c.lon) * ({_KY} * {_COS348}))
+                  * ((s.lon - c.lon) * ({_KY} * {_COS348}))) AS dist_m
+      FROM c CROSS JOIN s
+    )
+    SELECT c_custkey, s_suppkey, CAST(rnk AS INT) AS knn_rank, dist_m
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                       ORDER BY dist_m, s_suppkey) AS rnk
+          FROM pairs WHERE dist_m <= 120.0)
+    WHERE rnk <= 3
+"""
+
+
+@register("knn_topk_suppliers", _KNN_TOPK_ORACLE)
+def knn_topk_suppliers(spark, sf_dir):
+    """J2 generalized: k-nearest (k=3) with the §8.4 deterministic tie
+    order (spatial_join.pick_knn_topk), candidates from a broadcast of
+    the small dim side — the big side never shuffles. Flat-projection
+    distance makes ranking/cutoff bit-exact cross-engine (see
+    geom_sql.flat_dist_m_expr)."""
+    from mergeaddressesandbuildings_spark.functions import geom_sql
+    from mergeaddressesandbuildings_spark.operators import spatial_join as sj
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        (F.lit(34.8) + (F.col("c_custkey") % 41).cast("double") * F.lit(0.00009)).alias("c_lat"),
+        (F.lit(-82.4) + (F.col("c_custkey") % 43).cast("double") * F.lit(0.00009)).alias("c_lon"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        (F.lit(34.8) + (F.col("s_suppkey") % 13).cast("double") * F.lit(0.00027)).alias("s_lat"),
+        (F.lit(-82.4) + (F.col("s_suppkey") % 17).cast("double") * F.lit(0.00022)).alias("s_lon"),
+    )
+    d = geom_sql.flat_dist_m_expr(
+        F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon"),
+        F.lit(_COS348_F),
+    )
+    cands = (
+        c.crossJoin(F.broadcast(s))
+        .withColumn("dist_m", d)
+        .filter(F.col("dist_m") <= 120.0)
+        .select(
+            F.col("c_custkey").alias("addr_id"),
+            F.col("s_suppkey").alias("building_id"),
+            "dist_m",
+            F.lit(0.0).alias("area_m2"),
+        )
+    )
+    return sj.pick_knn_topk(cands, k=3).select(
+        F.col("addr_id").alias("c_custkey"),
+        F.col("building_id").alias("s_suppkey"),
+        "knn_rank", "dist_m",
     )
 
 

@@ -1,0 +1,34 @@
+"""Connected components over near-dup pairs (doc_dedupe.dup_clusters):
+hash-min label propagation must converge across multi-hop chains and
+keep distinct components apart."""
+
+from __future__ import annotations
+
+from mergeaddressesandbuildings_spark.operators import doc_dedupe
+
+
+def _clusters(spark, edges):
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    rows = doc_dedupe.dup_clusters(pairs).collect()
+    return {r["doc_id"]: r["cluster_id"] for r in rows}
+
+
+def test_chain_and_separate_components(spark):
+    got = _clusters(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_path_needs_many_rounds(spark):
+    """A 12-node path: the min label travels one hop per round, so this
+    exercises the convergence loop well past round 1."""
+    edges = [(i, i + 1) for i in range(100, 111)]
+    got = _clusters(spark, edges)
+    assert set(got.values()) == {100}
+    assert len(got) == 12
+
+
+def test_direction_agnostic(spark):
+    """(a,b) vs (b,a) must produce the same components."""
+    a = _clusters(spark, [(5, 2), (2, 9), (7, 9)])
+    b = _clusters(spark, [(2, 5), (9, 2), (9, 7)])
+    assert a == b == {2: 2, 5: 2, 7: 2, 9: 2}
