@@ -30,7 +30,20 @@ HEADLINE = [
     "broadcast_nation_join",
     "street_normalize",
     "top_revenue_orders",
+    "knn_topk_suppliers",
+    "doc_dup_clusters",
 ]
+
+# Measured host context for interpreting the numbers (see
+# BENCH/BASELINE.md "Why raw E is capped on THIS host"): the sandbox's
+# DRAM bandwidth sustains only ~2-6 streaming core-equivalents, cycle
+# delivery fluctuates minute-to-minute (up to 11% steal), and local
+# mode schedules N JVM threads + N Python workers per Arrow stage.
+HOST_CONTEXT = {
+    "streaming_core_equivalents": "2-6 (calibrated; benchtools/calibrate_bandwidth.py)",
+    "max_4_to_16_speedup": 2.63,
+    "note": "interleaved A/B medians required; 2.1x run variance observed",
+}
 
 
 def main() -> None:
@@ -82,6 +95,7 @@ def main() -> None:
         "merge_pages": MERGE_PAGES,
         "merge_assignments": n_assign,
         "merge_pages_per_sec": round(MERGE_PAGES / merge_s, 1),
+        "host_context": HOST_CONTEXT,
     }))
     spark.stop()
 

@@ -810,6 +810,99 @@ def embedding_near_dup(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), threshold=0.40)
 
 
+@register(
+    "embedding_dup_clusters",
+    """
+    WITH RECURSIVE
+    e AS (SELECT vec_id, embedding,
+                 CAST(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE) AS n2
+          FROM embeddings),
+    prs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS DOUBLE)
+            / SQRT(a.n2 * b.n2) >= 0.40
+    ),
+    edges AS (SELECT va AS src, vb AS dst FROM prs
+              UNION SELECT vb, va FROM prs),
+    reach(src, dst) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    )
+    SELECT CAST(src AS BIGINT) AS vec_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def embedding_dup_clusters(spark, sf_dir):
+    """Embedding near-dup pairs → keep-one-per-cluster components
+    (dup_clusters over the exact-cosine pair graph) — the embedding
+    side of the dedup pipeline, oracle-paired end to end."""
+    pairs = similarity.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.40)
+    return (
+        doc_dedupe.dup_clusters(pairs, a_col="vec_a", b_col="vec_b")
+        .select(F.col("doc_id").cast("long").alias("vec_id"),
+                F.col("cluster_id").cast("long").alias("cluster_id"))
+    )
+
+
+@register(
+    "doc_split_assign",
+    """
+    WITH h AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST('0x' || substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 100 AS split_pct
+      FROM documents
+    )
+    SELECT doc_id, split_pct,
+           CASE WHEN split_pct < 80 THEN 'train'
+                WHEN split_pct < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def doc_split_assign(spark, sf_dir):
+    """Deterministic hash-keyed train/val/test split (operators/
+    sampling.py) — reproducible across runs, engines, and cluster
+    sizes; pure map-side column expressions."""
+    from mergeaddressesandbuildings_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.with_split(
+        docs, F.col("doc_id"), train=80, val=10
+    ).select(F.col("doc_id").cast("long").alias("doc_id"),
+             "split_pct", "split")
+
+
+@register(
+    "doc_stratified_sample",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM documents
+    WHERE CAST('0x' || substr(sha256('sample|' || CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 10000
+          < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000
+                      WHEN 'fr' THEN 5000 ELSE 1000 END
+    """,
+)
+def doc_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (downsample dominant
+    languages, keep all of a rare one) — hash-threshold membership,
+    zero shuffles (operators/sampling.py)."""
+    from mergeaddressesandbuildings_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, F.col("doc_id"), F.col("lang"),
+        fractions={"en": 0.25, "zh": 1.0, "fr": 0.5}, default=0.1,
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
 @register("embedding_near_dup_lsh")
 def embedding_near_dup_lsh(spark, sf_dir):
     """Scale path: multi-table hyperplane-LSH near-dup (rows-only — the
