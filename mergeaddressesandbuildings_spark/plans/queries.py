@@ -1012,6 +1012,54 @@ def events_stream_tumbling(spark, sf_dir):
     return spark.table(name)
 
 
+@register(
+    "doc_stream_dedupe",
+    """
+    WITH u AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text FROM documents)
+    SELECT CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id
+    FROM u GROUP BY text
+    """,
+)
+def doc_stream_dedupe(spark, sf_dir):
+    """ST6 via a REAL streaming run: documents + full-duplicate copies
+    arrive as two microbatches; the stateful dedup (streaming/
+    doc_stream.py) must recognize every batch-2 copy against batch-1
+    state and keep exactly the min-doc_id winner per content — the
+    oracle is the batch group-by over the same union."""
+    import os
+    import tempfile
+
+    from mergeaddressesandbuildings_spark.streaming import doc_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    src_dir = tempfile.mkdtemp(prefix="doc_stream_")
+    docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "b1"))
+    copies = docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    copies.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "b2"))
+    flat = tempfile.mkdtemp(prefix="doc_stream_flat_")
+    for sub in ("b1", "b2"):  # one data file per microbatch, ordered
+        d = os.path.join(src_dir, sub)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(d, f), os.path.join(flat, f"{sub}.parquet"))
+
+    stream = doc_stream.stream_exact_dedupe(
+        doc_stream.docs_stream(spark, flat, max_files_per_trigger=1),
+        hash="sha256",
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"doc_stream_dedupe_{_STREAM_SEQ[0]}"
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (
+        spark.table(name).filter(F.col("is_first"))
+        .select("content_hash", F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
 # ---------------------------------------------------------------------
 # O2/O3, U3, J6, F1, F5, F10, T1 parity additions (SURVEY §2.6/2.9/2.3/2.8/2.7)
 # ---------------------------------------------------------------------

@@ -99,3 +99,15 @@ CANDIDATES = T.StructType(
         T.StructField("area_m2", T.DoubleType(), False),
     ]
 )
+
+# the driver testdata documents table (TESTDATA.md) — frozen for the
+# streaming source (never inferred)
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)

@@ -70,6 +70,27 @@ def _to_xml(nodes, ways, relations) -> str:
     return "\n".join(out)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=200))
+    def test_varint_codec_property(vals):
+        buf = b"".join(osm_pbf._encode_varint(int(v)) for v in vals)
+        out = osm_pbf._decode_packed_varints(buf)
+        assert out.tolist() == vals
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                    max_size=100))
+    def test_zigzag_codec_property(vals):
+        enc = np.array([osm_pbf._zigzag(int(v)) for v in vals], dtype=np.uint64)
+        assert osm_pbf._unzigzag(enc).tolist() == vals
+except ImportError:  # pragma: no cover - hypothesis is baked in per spec
+    pass
+
+
 def test_packed_varint_kernel_roundtrip():
     rng = np.random.default_rng(7)
     vals = np.concatenate([
