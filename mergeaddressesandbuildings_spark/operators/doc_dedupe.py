@@ -283,30 +283,33 @@ def dup_clusters(pairs: DataFrame,
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
+    from pyspark.sql import Observation
+
     for it in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src").agg(F.min("cluster_id").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("_old"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
         )
-        new_labels.write.mode("overwrite").parquet(f"{scratch}/labels_{it}")
-        new_labels = spark.read.parquet(f"{scratch}/labels_{it}")
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # convergence metric rides the barrier write itself (observe()
+        # is collected by the SAME action) — one job per round, not two
+        obs = Observation(f"cc_round_{it}")
+        stepped = stepped.observe(
+            obs, F.sum((F.col("cluster_id") != F.col("_old")).cast("long"))
+            .alias("n_changed")
+        ).drop("_old")
+        stepped.write.mode("overwrite").parquet(f"{scratch}/labels_{it}")
+        labels = spark.read.parquet(f"{scratch}/labels_{it}")
+        if obs.get["n_changed"] == 0:
             break
     return labels

@@ -1228,8 +1228,19 @@ def knn_topk_suppliers(spark, sf_dir):
         F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon"),
         F.lit(_COS348_F),
     )
+    # cheap bbox rejection ahead of the sqrt: a pair can only be within
+    # the cutoff if each axis distance is — compares short-circuit the
+    # vast majority of the broadcast-loop pairs before any sqrt runs.
+    # (Pure filter-tightening: every surviving pair is re-checked by the
+    # exact predicate below, so results are unchanged.)
+    ky = 111195.08023353292
+    kx = ky * _COS348_F
+    bbox_ok = (
+        (F.abs(F.col("s_lat") - F.col("c_lat")) * F.lit(ky) <= F.lit(120.0))
+        & (F.abs(F.col("s_lon") - F.col("c_lon")) * F.lit(kx) <= F.lit(120.0))
+    )
     cands = (
-        c.crossJoin(F.broadcast(s))
+        c.join(F.broadcast(s), bbox_ok)
         .withColumn("dist_m", d)
         .filter(F.col("dist_m") <= 120.0)
         .select(

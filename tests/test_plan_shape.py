@@ -57,6 +57,35 @@ def test_flagship_plan_has_no_cartesian_or_python_udf(spark):
     assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF operator
 
 
+# Brute-force O(n²) baselines documented as such (each has a bucketed
+# scale-path sibling): allowed to plan a nested-loop/cartesian join.
+_BRUTE_FORCE_OK = {
+    "ann_cosine_topk", "embedding_near_dup", "embedding_dup_clusters",
+    "knn_topk_suppliers",
+}
+# queries that execute eagerly at build time (real streaming runs /
+# iterative fixpoints) — no single final plan to inspect statically
+_EAGER = {"events_stream_tumbling", "doc_stream_dedupe",
+          "doc_dup_clusters", "merge_assignments", "merge_output_sets",
+          "merge_tiles", "merge_holes"}
+
+
+def test_every_query_plan_is_scale_shaped(spark):
+    """Sweep the whole driver registry: no row-at-a-time Python UDF
+    operator anywhere, and nested-loop/cartesian joins only in the
+    documented brute-force baselines."""
+    from mergeaddressesandbuildings_spark.plans.queries import QUERIES
+
+    for name, fn in sorted(QUERIES.items()):
+        if name in _EAGER:
+            continue
+        plan = explain(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+        if name not in _BRUTE_FORCE_OK:
+            assert "CartesianProduct" not in plan, f"{name}: cartesian join"
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+
+
 def test_pair_join_strategy_is_equi_join(spark):
     """The spatial join must reach Catalyst as an equi-join on the cell
     key (shuffle/broadcast hash join), never a theta join."""
