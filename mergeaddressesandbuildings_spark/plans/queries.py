@@ -1132,6 +1132,38 @@ def broadcast_nation_join(spark, sf_dir):
     )
 
 
+@register(
+    "part_type_revenue",
+    """
+    SELECT p.p_type,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+)
+def part_type_revenue(spark, sf_dir):
+    """J6+A1 on the part dimension (TPC-H Q14 family): fact×dim
+    broadcast join + revenue per part type in integer cents — the big
+    side shuffles only for the final agg."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                        * 100).cast("long")
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_lines"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+    )
+
+
 _HAVERSINE_ORACLE = """
     WITH pts AS (
       SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
