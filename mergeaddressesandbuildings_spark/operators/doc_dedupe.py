@@ -249,15 +249,17 @@ def dup_clusters(pairs: DataFrame,
     — the step that turns pairwise dedup verdicts into keep-one-per-
     cluster groups in a training-data pipeline.
 
-    Algorithm: hash-min label propagation (the standard Pregel-style
-    formulation). Each round every vertex takes the min of its own
-    label and its neighbors' labels — one equi-join + one hash agg per
-    round, both map-side combinable; rounds needed = graph diameter
-    (near-dup clusters are shallow — dozens of rounds covers planetary
-    corpora, and the loop exits as soon as a round changes nothing).
-    Labels are parquet-barriered every round (plans/merge.py pattern):
-    iterative self-joins otherwise double the logical plan per round,
-    which is quadratic driver work by round 10.
+    Algorithm: hash-min label propagation with path halving. Each
+    round every vertex takes the min of (its label, its neighbors'
+    labels, *its label's label* from the previous round) — the last
+    term is pointer jumping, which contracts label chains
+    geometrically, so convergence is O(log diameter) rounds instead of
+    O(diameter) (a 120-node chain converges in ~10 rounds, not 119 —
+    asserted in tests). Per round: two equi-joins + one hash agg, all
+    map-side combinable; the loop exits as soon as a round changes
+    nothing. Labels are parquet-barriered every round (plans/merge.py
+    pattern): iterative self-joins otherwise double the logical plan
+    per round, which is quadratic driver work by round 10.
 
     The driver-loop-with-convergence-check is the documented exception
     to "no driver loops" (SURVEY.md §2.11): the loop count is
@@ -298,6 +300,23 @@ def dup_clusters(pairs: DataFrame,
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # path halving: follow the (previous-round) label's label.
+        # `labels` is a parquet scan, so this join re-reads the small
+        # barriered table — it does NOT recompute the round's agg.
+        lbl_of_lbl = labels.select(
+            F.col("doc_id").alias("_jid"), F.col("cluster_id").alias("_jlbl")
+        )
+        stepped = (
+            stepped.join(lbl_of_lbl, stepped["cluster_id"] == lbl_of_lbl["_jid"],
+                         "left")
+            .select(
+                "doc_id", "_old",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_jlbl"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
         )

@@ -19,12 +19,13 @@ def test_chain_and_separate_components(spark):
 
 
 def test_long_path_needs_many_rounds(spark):
-    """A 12-node path: the min label travels one hop per round, so this
-    exercises the convergence loop well past round 1."""
-    edges = [(i, i + 1) for i in range(100, 111)]
+    """A 120-node path: plain one-hop propagation would need 119 rounds
+    (> max_iters=50), so full convergence here PROVES the path-halving
+    pointer jump contracts chains geometrically."""
+    edges = [(i, i + 1) for i in range(100, 219)]
     got = _clusters(spark, edges)
     assert set(got.values()) == {100}
-    assert len(got) == 12
+    assert len(got) == 120
 
 
 def test_direction_agnostic(spark):
