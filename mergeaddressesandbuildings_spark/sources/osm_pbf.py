@@ -230,9 +230,11 @@ def _decode_block(block: bytes):
         elif field == 17:
             granularity = val
         elif field == 19:
-            lat_off = val
+            # plain int64 varint (NOT zigzag): negative values arrive as
+            # two's complement in 10 bytes
+            lat_off = val - (1 << 64) if val >= (1 << 63) else val
         elif field == 20:
-            lon_off = val
+            lon_off = val - (1 << 64) if val >= (1 << 63) else val
 
     scale_lat = lambda a: (lat_off + granularity * a) * _NANO  # noqa: E731
     nodes: list[dict] = []

@@ -175,6 +175,38 @@ def test_xml_pbf_table_parity(spark, tmp_path):
     assert len(holed) == 1 and holed[0]["elem_id"] == 200
 
 
+def test_nondefault_granularity_and_offsets(spark, tmp_path):
+    """Real-world extracts may use a non-default granularity /
+    lat_offset / lon_offset (osmformat fields 17/19/20) — our writer
+    never emits them, so hand-assemble a block and check the decoder
+    applies `1e-9 * (offset + granularity * raw)`."""
+    P = osm_pbf
+    # one dense node: raw=(1000, -2000), granularity=1000,
+    # lat_offset=500, lon_offset=-300
+    dense = (
+        P._packed(1, [42], zigzag=True)
+        + P._packed(8, [1000], zigzag=True)
+        + P._packed(9, [-2000], zigzag=True)
+    )
+    group = P._bytes_field(2, dense)
+    st = P._bytes_field(1, b"")
+    block = (
+        P._bytes_field(1, st) + P._bytes_field(2, group)
+        + P._field(17, 0) + P._encode_varint(1000)    # granularity
+        + P._field(19, 0) + P._encode_varint(500)     # lat_offset
+        + P._field(20, 0) + P._encode_varint((-300) & 0xFFFFFFFFFFFFFFFF)
+    )
+    path = str(tmp_path / "g.osm.pbf")
+    with open(path, "wb") as fh:
+        fh.write(P._blob(block))
+    nodes = osm_pbf.read_nodes(spark, path).collect()
+    assert len(nodes) == 1
+    n = nodes[0]
+    assert n["id"] == 42
+    assert n["lat"] == (500 + 1000 * 1000) * 1e-9
+    assert n["lon"] == (-300 + 1000 * -2000) * 1e-9
+
+
 def test_multiblob_parallel_read(spark, tmp_path):
     """Small nodes_per_block forces a multi-blob file; the blob index
     fans out one task per blob and every node survives (delta chains
