@@ -632,3 +632,58 @@ def pick_knn_topk(cands: DataFrame, k: int) -> DataFrame:
         .filter(F.col("knn_rank") <= k)
         .select("addr_id", "building_id", "knn_rank", "dist_m")
     )
+
+
+def flat_grid_candidates(a: DataFrame, b: DataFrame,
+                         cutoff_m: float, cos_lat0: float,
+                         a_lat: str = "a_lat", a_lon: str = "a_lon",
+                         b_lat: str = "b_lat", b_lon: str = "b_lon",
+                         broadcast_b: bool = False) -> DataFrame:
+    """Point↔point candidate pairs within ``cutoff_m`` as a pure
+    EQUI-JOIN (J2 family, point-point specialization): bucket both
+    sides on a flat-projection grid whose cell size equals the cutoff,
+    explode the (smaller) ``b`` side to its 3×3 neighborhood, and join
+    on the grid key. Any pair within the cutoff differs by at most one
+    cell per axis, so the neighborhood is complete; the exact
+    ``dist_m <= cutoff_m`` refine keeps results identical to the
+    brute-force formulation while the plan stays a shuffle/broadcast
+    HASH join — no nested loop, no cartesian, scales to both sides
+    being large.
+
+    ``cos_lat0`` is the flat-projection latitude factor (small-area
+    assumption, same contract as geom_sql.flat_dist_m_expr — the
+    distance is bit-exact cross-engine)."""
+    from mergeaddressesandbuildings_spark.functions import geom_sql
+
+    dlat = cutoff_m / config.DEG_TO_M
+    dlon = cutoff_m / (config.DEG_TO_M * cos_lat0)
+    offsets = F.array(*[
+        F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+        for i in (-1, 0, 1) for j in (-1, 0, 1)
+    ])
+    b9 = (
+        b.withColumn("_o", F.explode(offsets))
+        .withColumn("_gx", F.floor(F.col(b_lat) / F.lit(dlat)) + F.col("_o.i"))
+        .withColumn("_gy", F.floor(F.col(b_lon) / F.lit(dlon)) + F.col("_o.j"))
+        .drop("_o")
+    )
+    a_g = (
+        a.withColumn("_gx", F.floor(F.col(a_lat) / F.lit(dlat)))
+        .withColumn("_gy", F.floor(F.col(a_lon) / F.lit(dlon)))
+    )
+    d = geom_sql.flat_dist_m_expr(
+        F.col(a_lat), F.col(a_lon), F.col(b_lat), F.col(b_lon),
+        F.lit(cos_lat0),
+    )
+    if broadcast_b:
+        # small b side: broadcast the exploded buckets — the join stays
+        # a HASH join (one probe per a-row) and the big side never
+        # shuffles; with broadcast_b=False both sides shuffle on the
+        # grid key (the both-sides-large path).
+        b9 = F.broadcast(b9)
+    return (
+        a_g.join(b9, ["_gx", "_gy"])
+        .withColumn("dist_m", d)
+        .filter(F.col("dist_m") <= F.lit(cutoff_m))
+        .drop("_gx", "_gy")
+    )

@@ -1239,11 +1239,11 @@ _KNN_TOPK_ORACLE = f"""
 @register("knn_topk_suppliers", _KNN_TOPK_ORACLE)
 def knn_topk_suppliers(spark, sf_dir):
     """J2 generalized: k-nearest (k=3) with the §8.4 deterministic tie
-    order (spatial_join.pick_knn_topk), candidates from a broadcast of
-    the small dim side — the big side never shuffles. Flat-projection
+    order (spatial_join.pick_knn_topk), candidates from the 3×3
+    grid-bucket equi-join (spatial_join.flat_grid_candidates) — a hash
+    join on the grid key, scales with both sides large. Flat-projection
     distance makes ranking/cutoff bit-exact cross-engine (see
     geom_sql.flat_dist_m_expr)."""
-    from mergeaddressesandbuildings_spark.functions import geom_sql
     from mergeaddressesandbuildings_spark.operators import spatial_join as sj
 
     c = _t(spark, sf_dir, "customer").select(
@@ -1256,25 +1256,15 @@ def knn_topk_suppliers(spark, sf_dir):
         (F.lit(34.8) + (F.col("s_suppkey") % 13).cast("double") * F.lit(0.00027)).alias("s_lat"),
         (F.lit(-82.4) + (F.col("s_suppkey") % 17).cast("double") * F.lit(0.00022)).alias("s_lon"),
     )
-    d = geom_sql.flat_dist_m_expr(
-        F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon"),
-        F.lit(_COS348_F),
-    )
-    # cheap bbox rejection ahead of the sqrt: a pair can only be within
-    # the cutoff if each axis distance is — compares short-circuit the
-    # vast majority of the broadcast-loop pairs before any sqrt runs.
-    # (Pure filter-tightening: every surviving pair is re-checked by the
-    # exact predicate below, so results are unchanged.)
-    ky = 111195.08023353292
-    kx = ky * _COS348_F
-    bbox_ok = (
-        (F.abs(F.col("s_lat") - F.col("c_lat")) * F.lit(ky) <= F.lit(120.0))
-        & (F.abs(F.col("s_lon") - F.col("c_lon")) * F.lit(kx) <= F.lit(120.0))
-    )
+    # candidates via the 3×3 grid-bucket EQUI-join (no nested loop):
+    # complete for the cutoff by construction, identical results to the
+    # brute-force formulation (the exact dist filter runs inside)
     cands = (
-        c.join(F.broadcast(s), bbox_ok)
-        .withColumn("dist_m", d)
-        .filter(F.col("dist_m") <= 120.0)
+        sj.flat_grid_candidates(
+            c, s, cutoff_m=120.0, cos_lat0=_COS348_F,
+            a_lat="c_lat", a_lon="c_lon", b_lat="s_lat", b_lon="s_lon",
+            broadcast_b=True,  # dim side is small; big side never shuffles
+        )
         .select(
             F.col("c_custkey").alias("addr_id"),
             F.col("s_suppkey").alias("building_id"),

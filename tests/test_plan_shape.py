@@ -61,7 +61,6 @@ def test_flagship_plan_has_no_cartesian_or_python_udf(spark):
 # scale-path sibling): allowed to plan a nested-loop/cartesian join.
 _BRUTE_FORCE_OK = {
     "ann_cosine_topk", "embedding_near_dup", "embedding_dup_clusters",
-    "knn_topk_suppliers",
 }
 # queries that execute eagerly at build time (real streaming runs /
 # iterative fixpoints) — no single final plan to inspect statically
