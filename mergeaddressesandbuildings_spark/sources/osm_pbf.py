@@ -135,6 +135,10 @@ def _iter_fields(buf: bytes, pos: int, end: int):
 
 
 def _encode_varint(v: int) -> bytes:
+    if v < 0:  # a negative here would loop forever (arithmetic shift)
+        raise ValueError(
+            "varint encode needs a non-negative int — zigzag sint64 or "
+            "mask int64 to two's complement (_encode_int64) first")
     out = bytearray()
     while True:
         b = v & 0x7F
@@ -144,6 +148,16 @@ def _encode_varint(v: int) -> bytes:
         else:
             out.append(b)
             return bytes(out)
+
+
+def _encode_int64(v: int) -> bytes:
+    """Plain (non-zigzag) int64 field: negatives go as two's complement
+    (10-byte varint), per proto wire format."""
+    return _encode_varint(v & 0xFFFFFFFFFFFFFFFF)
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def _zigzag(v: int) -> int:
@@ -302,7 +316,7 @@ def _decode_block(block: bytes):
                 refs = np.empty(0, dtype=np.int64)
                 for f2, _, v2 in _iter_fields(block, val[0], val[1]):
                     if f2 == 1:
-                        wid = v2
+                        wid = _signed64(v2)  # plain int64 (negative = new elem)
                     elif f2 == 2:
                         keys = _decode_packed_varints(block[v2[0]:v2[1]])
                     elif f2 == 3:
@@ -324,7 +338,7 @@ def _decode_block(block: bytes):
                 roles = np.empty(0, dtype=np.uint64)
                 for f2, _, v2 in _iter_fields(block, val[0], val[1]):
                     if f2 == 1:
-                        rid = v2
+                        rid = _signed64(v2)
                     elif f2 == 2:
                         keys = _decode_packed_varints(block[v2[0]:v2[1]])
                     elif f2 == 3:
@@ -472,7 +486,7 @@ def write_pbf(path: str,
             refs = w["node_refs"]
             delta_refs = [r - p for r, p in zip(refs, [0] + refs[:-1])]
             msg = (
-                _field(1, 0) + _encode_varint(w["id"])
+                _field(1, 0) + _encode_int64(w["id"])
                 + (_packed(2, [lut[k] for k in w["tags"]]) if w["tags"] else b"")
                 + (_packed(3, [lut[v] for v in w["tags"].values()]) if w["tags"] else b"")
                 + (_packed(8, delta_refs, zigzag=True) if refs else b"")
@@ -485,7 +499,7 @@ def write_pbf(path: str,
             mids = r["member_refs"]
             delta_mids = [m - p for m, p in zip(mids, [0] + mids[:-1])]
             msg = (
-                _field(1, 0) + _encode_varint(r["id"])
+                _field(1, 0) + _encode_int64(r["id"])
                 + (_packed(2, [lut[k] for k in r["tags"]]) if r["tags"] else b"")
                 + (_packed(3, [lut[v] for v in r["tags"].values()]) if r["tags"] else b"")
                 + (_packed(8, [lut[ro] for ro in r["member_roles"]])

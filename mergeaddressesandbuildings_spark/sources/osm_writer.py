@@ -202,3 +202,79 @@ def merge_result_to_elements(assignments: DataFrame, addresses: DataFrame,
         )
     )
     return addr_nodes.unionByName(bld_ways)
+
+
+def write_pbf_tiles(elements: DataFrame, out_dir: str) -> DataFrame:
+    """S4 variant: same element table, `.osm.pbf` container —
+    ``<out_dir>/tile=<tile>.osm.pbf`` per tile via osm_pbf.write_pbf.
+
+    Element semantics are the XML writer's exactly (negative new-element
+    ids, per-tile sequential vertex ids skipping element-node ids,
+    shared-vertex dedupe at 1e-7, nodes-before-ways ascending order);
+    coordinates quantize to the PBF 100-nanodegree grid (standard OSM
+    precision — the XML variant keeps full float repr). Kept as a twin
+    of write_osm_tiles rather than a shared assembler so the golden XML
+    bytes stay untouchable."""
+    from mergeaddressesandbuildings_spark.sources import osm_pbf
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = int(pdf["tile"].iat[0])
+        pdf = pdf.sort_values(["elem_kind", "id"])
+        nodes: list[tuple] = []
+        ways: list[tuple] = []
+        node_seq: dict[tuple, int] = {}
+        elem_node_ids = {
+            _neg(i) for i in pdf.loc[pdf["elem_kind"] == "node", "id"]
+        }
+        vseq = [0]
+
+        def next_vertex_id() -> int:
+            vseq[0] -= 1
+            while vseq[0] in elem_node_ids:
+                vseq[0] -= 1
+            return vseq[0]
+
+        for row in pdf.itertuples(index=False):
+            tags = dict(row.tags) if row.tags else {}
+            if row.elem_kind == "node":
+                nodes.append((_neg(row.id), float(row.lat), float(row.lon), tags))
+            else:
+                refs = []
+                for la, lo in zip(row.ring_lats, row.ring_lons):
+                    key = (round(float(la), 7), round(float(lo), 7))
+                    if key not in node_seq:
+                        nid = next_vertex_id()
+                        node_seq[key] = nid
+                        nodes.append((nid, float(la), float(lo), {}))
+                    refs.append(node_seq[key])
+                ways.append((_neg(row.id), refs, tags))
+
+        seen: set[int] = set()
+        node_rows = []
+        for nid, la, lo, tags in sorted(nodes, key=lambda t: t[0]):
+            if nid not in seen:
+                seen.add(nid)
+                node_rows.append({"id": nid, "lat": la, "lon": lo, "tags": tags})
+        way_rows = [
+            {"id": wid, "node_refs": refs, "tags": tags}
+            for wid, refs, tags in sorted(ways, key=lambda t: t[0])
+        ]
+
+        path = os.path.join(out_dir, f"tile={tile}.osm.pbf")
+        osm_pbf.write_pbf(path, node_rows, way_rows)
+        return pd.DataFrame([{
+            "tile": tile,
+            "path": path,
+            "n_nodes": len(node_rows),
+            "n_ways": len(way_rows),
+        }])
+
+    return (
+        elements.groupBy("tile")
+        .applyInPandas(
+            lambda _key, pdf: write_tile(pdf),
+            schema="tile long, path string, n_nodes long, n_ways long",
+        )
+    )

@@ -79,3 +79,53 @@ def test_conflict_review_files(written):
     if files:
         data = json.load(open(files[0]))
         assert all("id" in d and "tags" in d for d in data)
+
+
+def test_pbf_tiles_match_xml_tiles(spark, written, tmp_path):
+    """S4 PBF variant: same elements through write_pbf_tiles — per-tile
+    node/way counts equal the XML manifest's, files re-read with the
+    engine's own PBF reader, tags survive, coords are the XML values
+    quantized to the 100-nanodegree PBF grid."""
+    from mergeaddressesandbuildings_spark.sources import osm_pbf, osm_writer as W
+
+    out_xml, manifest, res = written
+    out_pbf = str(tmp_path / "pbf_out")
+    elements = W.merge_result_to_elements(
+        res.assignments, res.addresses, res.buildings, res.tiles
+    )
+    pbf_manifest = {m["tile"]: m for m in W.write_pbf_tiles(elements, out_pbf).collect()}
+    xml_manifest = {m["tile"]: m for m in manifest}
+    assert set(pbf_manifest) == set(xml_manifest)
+    for t, m in xml_manifest.items():
+        assert pbf_manifest[t]["n_nodes"] == m["n_nodes"]
+        assert pbf_manifest[t]["n_ways"] == m["n_ways"]
+
+    glob_pbf = os.path.join(out_pbf, "*.osm.pbf")
+    p_nodes = osm_pbf.read_nodes(spark, glob_pbf)
+    p_ways = osm_pbf.read_ways(spark, glob_pbf)
+    assert p_ways.count() == sum(m["n_ways"] for m in manifest)
+    assert p_nodes.count() == sum(m["n_nodes"] for m in manifest)
+
+    # XML twin comparison on ONE tile (synthesized vertex ids are
+    # per-file unique — OSM negative-id semantics — so a multi-file
+    # glob would collide ids across tiles): ids identical; coords are
+    # the XML values quantized to the PBF grid
+    tile = min(xml_manifest)
+    x_nodes = {r["id"]: r for r in
+               osm_xml.read_nodes(spark, xml_manifest[tile]["path"]).collect()}
+    got = {r["id"]: r for r in
+           osm_pbf.read_nodes(spark, pbf_manifest[tile]["path"]).collect()}
+    assert set(got) == set(x_nodes)
+    for nid in list(got)[:50]:
+        g, x = got[nid], x_nodes[nid]
+        assert g["lat"] == (100 * round(x["lat"] / 1e-9 / 100)) * 1e-9
+        assert g["lon"] == (100 * round(x["lon"] / 1e-9 / 100)) * 1e-9
+        assert dict(g["tags"]) == dict(x["tags"])
+    x_ways = {r["id"]: r for r in
+              osm_xml.read_ways(spark, xml_manifest[tile]["path"]).collect()}
+    g_ways = {r["id"]: r for r in
+              osm_pbf.read_ways(spark, pbf_manifest[tile]["path"]).collect()}
+    assert set(g_ways) == set(x_ways)
+    for wid, g in g_ways.items():
+        assert list(g["node_refs"]) == list(x_ways[wid]["node_refs"])
+        assert dict(g["tags"]) == dict(x_ways[wid]["tags"])
