@@ -40,6 +40,9 @@ def main() -> None:
     ap.add_argument("--level", type=int, default=None)
     ap.add_argument("--budget", type=int, default=None)
     ap.add_argument("--no-existing", action="store_true")
+    ap.add_argument("--emit-osm-tiles", choices=["xml", "pbf"], default=None,
+                    help="also write per-tile .osm / .osm.pbf files (the "
+                         "reference's uploadable deliverable) under <out>/osm")
     ap.add_argument("--n-batches", type=int, default=4)
     ap.add_argument("--skip-write", action="store_true")
     ap.add_argument("--fail-after-batches", type=int, default=None,
@@ -141,6 +144,22 @@ def main() -> None:
     }
     t_compute = time.monotonic() - t0 - t_load
 
+    osm_stats = None
+    if args.emit_osm_tiles:
+        from mergeaddressesandbuildings_spark.sources import osm_writer
+        elements = osm_writer.merge_result_to_elements(
+            res.assignments, res.addresses, res.buildings, res.tiles
+        )
+        writer = (osm_writer.write_osm_tiles if args.emit_osm_tiles == "xml"
+                  else osm_writer.write_pbf_tiles)
+        manifest = writer(elements, os.path.join(args.out, "osm")).collect()
+        osm_stats = {
+            "format": args.emit_osm_tiles,
+            "n_files": len(manifest),
+            "n_nodes": int(sum(m["n_nodes"] for m in manifest)),
+            "n_ways": int(sum(m["n_ways"] for m in manifest)),
+        }
+
     write_stats = None
     if not args.skip_write:
         write_stats = sink.write_tiles(
@@ -165,6 +184,7 @@ def main() -> None:
         "wall_s": round(wall, 2),
         "pages_per_sec": round(n_pages / wall, 1),
         "write": write_stats,
+        "osm_tiles": osm_stats,
     }))
     spark.stop()
 
