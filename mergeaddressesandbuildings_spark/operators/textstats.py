@@ -96,3 +96,40 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k terms by (frequency desc, term asc) —
+    keyword-extraction baseline. Deterministic integer ranking (no
+    float scores → bit-exact across engines); explode + two hash aggs
+    + one window, all builtins."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term", "tf", "term_rank")
+    )
+
+
+def corpus_vocab(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Corpus vocabulary table: global term count + document frequency,
+    top ``top_n`` by (count desc, term asc) — the count-collection step
+    of tokenizer/vocab training. One explode + one hash agg (map-side
+    combinable: the shuffle carries (term, partial count, partial df),
+    never rows) + a top-n."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        words.groupBy("term")
+        .agg(F.count("*").alias("n_occurrences"),
+             F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(top_n)
+    )

@@ -506,6 +506,51 @@ def doc_fingerprints(spark, sf_dir):
 
 
 @register(
+    "doc_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term <> '' GROUP BY doc_id, term
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf,
+           CAST(rnk AS INT) AS term_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tf DESC, term) AS rnk
+          FROM tf)
+    WHERE rnk <= 5
+    """,
+)
+def doc_top_terms(spark, sf_dir):
+    """Per-doc keyword extraction: top-5 terms by (tf desc, term asc) —
+    integer-only ranking, bit-exact cross-engine."""
+    return textstats.top_terms(
+        _t(spark, sf_dir, "documents"), k=5
+    ).select(F.col("doc_id").cast("long").alias("doc_id"),
+             "term", "tf", "term_rank")
+
+
+@register(
+    "corpus_vocab",
+    """
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY n_occurrences DESC, term
+    LIMIT 100
+    """,
+)
+def corpus_vocab(spark, sf_dir):
+    """Tokenizer-training count collection: global term occurrences +
+    document frequency, deterministic top-100."""
+    return textstats.corpus_vocab(_t(spark, sf_dir, "documents"), top_n=100)
+
+
+@register(
     "doc_exact_dedup",
     """
     SELECT md5(text) AS content_md5,
