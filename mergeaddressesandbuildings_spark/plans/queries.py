@@ -551,6 +551,41 @@ def corpus_vocab(spark, sf_dir):
 
 
 @register(
+    "doc_pack_sequences",
+    """
+    WITH t AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           (cum - n_tokens) // 1024 AS seq_id,
+           (cum - n_tokens) % 1024 AS offset_in_seq
+    FROM c
+    """,
+)
+def doc_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/packing.py): contiguous token-stream
+    layout cut into 1024-token training sequences, computed as a
+    distributed prefix sum (range partition → per-partition window →
+    tiny offset map) — integer-exact vs the oracle's plain windowed
+    cumsum at any parallelism."""
+    from mergeaddressesandbuildings_spark.operators import packing
+
+    return packing.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=1024
+    ).select(F.col("doc_id").cast("long").alias("doc_id"),
+             "n_tokens", "seq_id", "offset_in_seq")
+
+
+@register(
     "doc_exact_dedup",
     """
     SELECT md5(text) AS content_md5,
