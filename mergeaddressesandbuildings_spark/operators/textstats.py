@@ -133,3 +133,49 @@ def corpus_vocab(docs: DataFrame, top_n: int = 100) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("term"))
         .limit(top_n)
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher/C4-style repetition signals per document, kept as exact
+    integer pairs (numerator, denominator) so downstream thresholds —
+    and the cross-engine oracle — never touch a float:
+
+    - ``top_bigram_n / n_bigrams``: occurrences of the most frequent
+      word bigram (ties: lexicographically first);
+    - ``once_words / n_distinct_words``: words appearing exactly once.
+
+    Two explodes + hash aggs, all builtins, map-side combinable."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    word_stats = wc.groupBy("doc_id").agg(
+        F.sum((F.col("c") == 1).cast("long")).alias("once_words"),
+        F.count("*").alias("n_distinct_words"),
+    )
+
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(2), F.size(ws)),
+        lambda i: F.concat(
+            F.element_at(ws, i - 1), F.lit(" "), F.element_at(ws, i)
+        ),
+    )
+    bigrams = docs.select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    bc = bigrams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    w_top = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+    top = (
+        bc.withColumn("_rn", F.row_number().over(w_top))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("c").alias("top_bigram_n"))
+    )
+    n_bi = bc.groupBy("doc_id").agg(F.sum("c").alias("n_bigrams"))
+    return (
+        word_stats.join(n_bi, "doc_id").join(top, "doc_id")
+        .select("doc_id", "once_words", "n_distinct_words",
+                "top_bigram_n", "n_bigrams")
+    )

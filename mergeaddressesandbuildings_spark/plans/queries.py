@@ -551,6 +551,49 @@ def corpus_vocab(spark, sf_dir):
 
 
 @register(
+    "doc_repetition_stats",
+    """
+    WITH w AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY 1, 2
+    ),
+    wstats AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS once_words,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_words
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)
+    ),
+    bc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, c AS top_bigram_n
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY c DESC, g) AS rn FROM bc)
+      WHERE rn = 1
+    ),
+    nb AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY 1)
+    SELECT s.doc_id, s.once_words, s.n_distinct_words, t.top_bigram_n, n.n_bigrams
+    FROM wstats s JOIN nb n USING (doc_id) JOIN top t USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher/C4 repetition quality signals as exact integer pairs
+    (textstats.repetition_stats) — thresholdable without floats."""
+    return textstats.repetition_stats(
+        _t(spark, sf_dir, "documents")
+    ).select(F.col("doc_id").cast("long").alias("doc_id"),
+             "once_words", "n_distinct_words", "top_bigram_n", "n_bigrams")
+
+
+@register(
     "doc_pack_sequences",
     """
     WITH t AS (
