@@ -551,6 +551,28 @@ def corpus_vocab(spark, sf_dir):
 
 
 @register(
+    "doc_length_histogram",
+    """
+    SELECT (CAST(n_chars AS BIGINT) // 50) * 50 AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark, sf_dir):
+    """Corpus length-distribution histogram (fixed integer 50-char
+    buckets — exact, unlike approx_percentile): one map-side-combinable
+    hash agg."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.expr("CAST(n_chars AS BIGINT) DIV 50") * 50
+    return (
+        d.groupBy(bucket.alias("bucket_lo"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.col("n_chars").cast("long")).alias("sum_chars"))
+    )
+
+
+@register(
     "doc_repetition_stats",
     """
     WITH w AS (
