@@ -38,10 +38,17 @@ def shingles(docs: DataFrame, n: int = 2) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams, built with array
     lambdas (no Python)."""
     ws = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(n), F.size(ws)),
-        lambda i: F.array_join(F.slice(ws, i - (n - 1), n), " "),
-    )
+    # guard: sequence(n, size) DESCENDS for docs shorter than n words
+    # and slice then throws INVALID_PARAMETER_VALUE.START — emit an
+    # empty shingle array instead (explode drops the doc: a doc with no
+    # n-grams has no shingle set, matching the oracle's empty range).
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(n), F.size(ws)),
+            lambda i: F.array_join(F.slice(ws, i - (n - 1), n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
@@ -243,7 +250,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 def dup_clusters(pairs: DataFrame,
                  a_col: str = "doc_a", b_col: str = "doc_b",
-                 max_iters: int = 50) -> DataFrame:
+                 max_iters: int = 50,
+                 scratch_dir: str | None = None) -> DataFrame:
     """Connected components over a near-dup pair graph →
     ``(doc_id, cluster_id)`` with ``cluster_id = min doc id reachable``
     — the step that turns pairwise dedup verdicts into keep-one-per-
@@ -265,7 +273,19 @@ def dup_clusters(pairs: DataFrame,
     to "no driver loops" (SURVEY.md §2.11): the loop count is
     O(diameter), data never leaves executors (the only collect is the
     1-row convergence count).
+
+    ``scratch_dir``: where the per-round parquet barriers live. On a
+    multi-node cluster this MUST be a shared filesystem path (same
+    contract as run_merge's ``barrier_dir``); the default
+    tempfile.mkdtemp is only valid in local mode. Intermediate rounds
+    (edges + superseded labels) are deleted before returning; the FINAL
+    labels parquet backs the returned DataFrame and is removed when a
+    later call reuses the same ``scratch_dir`` — callers wanting a
+    durable result should write it onward. Raises RuntimeError if the
+    propagation has not converged after ``max_iters`` rounds (a silent
+    partial clustering would merge wrong documents downstream).
     """
+    import shutil
     import tempfile
 
     spark = pairs.sparkSession
@@ -276,7 +296,17 @@ def dup_clusters(pairs: DataFrame,
         )
         .distinct()
     )
-    scratch = tempfile.mkdtemp(prefix="dup_clusters_")
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="dup_clusters_")
+
+    def _rm(sub: str) -> None:
+        # Hadoop FS delete → works for local paths AND shared-FS URIs
+        try:
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{scratch}/{sub}")
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
+        except Exception:
+            shutil.rmtree(f"{scratch}/{sub}", ignore_errors=True)
+
     edges.write.mode("overwrite").parquet(f"{scratch}/edges")
     edges = spark.read.parquet(f"{scratch}/edges")
 
@@ -287,6 +317,8 @@ def dup_clusters(pairs: DataFrame,
     )
     from pyspark.sql import Observation
 
+    converged = False
+    it = -1
     for it in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -329,6 +361,17 @@ def dup_clusters(pairs: DataFrame,
         ).drop("_old")
         stepped.write.mode("overwrite").parquet(f"{scratch}/labels_{it}")
         labels = spark.read.parquet(f"{scratch}/labels_{it}")
+        if it > 0:
+            _rm(f"labels_{it - 1}")  # superseded round
         if obs.get["n_changed"] == 0:
+            converged = True
             break
+    _rm("edges")
+    if not converged:
+        _rm(f"labels_{it}")
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds — "
+            "graph diameter exceeds 2^max_iters (path halving); raise "
+            "max_iters rather than consuming a partial clustering"
+        )
     return labels

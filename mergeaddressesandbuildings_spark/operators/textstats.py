@@ -157,12 +157,19 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
     ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    grams = F.transform(
-        F.sequence(F.lit(2), F.size(ws)),
-        lambda i: F.concat(
-            F.element_at(ws, i - 1), F.lit(" "), F.element_at(ws, i)
+    # guard: sequence(2, size) DESCENDS for <2-word docs and element_at
+    # then throws (index 0) — emit an empty bigram array instead, so
+    # explode drops the doc and the inner joins below drop it from the
+    # result, matching the oracle's empty-range + inner-join semantics.
+    grams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(ws)),
+            lambda i: F.concat(
+                F.element_at(ws, i - 1), F.lit(" "), F.element_at(ws, i)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     bigrams = docs.select(
         "doc_id", F.explode(grams).alias("g")
     )

@@ -113,17 +113,32 @@ def resolve_multipolygons(nodes: DataFrame, ways: DataFrame,
     the resolved ring table on way id (J7), and regrouped per relation.
     The shuffle keys are way ids / relation ids — no driver collection,
     unlike the county-boundary assembler below (which stitches ONE
-    small object and may chain split ways)."""
+    small object and may chain split ways).
+
+    Only ``type=multipolygon`` relations qualify: boundary relations
+    also use outer/inner roles, and resolving one here would turn a
+    county boundary into a giant phantom building (whose bbox cover
+    then trips MAX_COVER_CELLS and aborts the merge). Members are
+    restricted to way-typed refs when the relations table carries
+    ``member_types`` (node/way id spaces overlap in OSM)."""
     rings = resolve_rings(nodes, ways)
-    members = relations.select(
+    mp_rels = relations.filter(F.col("tags")["type"] == "multipolygon")
+    zip_cols = ["member_refs", "member_roles"]
+    has_types = "member_types" in relations.columns
+    if has_types:
+        zip_cols.append("member_types")
+    members = mp_rels.select(
         F.col("id").alias("rel_id"),
         F.col("tags").alias("rel_tags"),
-        F.explode(F.arrays_zip("member_refs", "member_roles")).alias("m"),
+        F.explode(F.arrays_zip(*zip_cols)).alias("m"),
     ).select(
         "rel_id", "rel_tags",
         F.col("m.member_refs").alias("way_id"),
         F.col("m.member_roles").alias("role"),
+        *([F.col("m.member_types").alias("mtype")] if has_types else []),
     ).filter(F.col("role").isin("outer", "inner"))
+    if has_types:
+        members = members.filter(F.col("mtype") == "way").drop("mtype")
     joined = members.join(
         rings.select(
             F.col("id").alias("way_id"),

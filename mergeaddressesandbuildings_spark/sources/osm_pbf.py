@@ -336,6 +336,7 @@ def _decode_block(block: bytes):
                 keys = vals_ = np.empty(0, dtype=np.uint64)
                 memids = np.empty(0, dtype=np.int64)
                 roles = np.empty(0, dtype=np.uint64)
+                mtypes = np.empty(0, dtype=np.uint64)
                 for f2, _, v2 in _iter_fields(block, val[0], val[1]):
                     if f2 == 1:
                         rid = _signed64(v2)
@@ -349,10 +350,13 @@ def _decode_block(block: bytes):
                         memids = np.cumsum(
                             _unzigzag(_decode_packed_varints(block[v2[0]:v2[1]]))
                         )
+                    elif f2 == 10:  # MemberType enum per member
+                        mtypes = _decode_packed_varints(block[v2[0]:v2[1]])
                 rels.append({
                     "id": int(rid),
                     "member_refs": [int(m) for m in memids],
                     "member_roles": [strings[int(r)] for r in roles],
+                    "member_types": [_MEMBER_TYPES[int(t)] for t in mtypes],
                     "tags": {strings[int(k)]: strings[int(v)]
                              for k, v in zip(keys, vals_)},
                 })
@@ -498,6 +502,9 @@ def write_pbf(path: str,
         for r in relations:
             mids = r["member_refs"]
             delta_mids = [m - p for m, p in zip(mids, [0] + mids[:-1])]
+            # member types: honor the row's member_types (node/way/
+            # relation); rows without one (legacy fixtures) default way
+            mt = r.get("member_types") or ["way"] * len(mids)
             msg = (
                 _field(1, 0) + _encode_int64(r["id"])
                 + (_packed(2, [lut[k] for k in r["tags"]]) if r["tags"] else b"")
@@ -505,7 +512,8 @@ def write_pbf(path: str,
                 + (_packed(8, [lut[ro] for ro in r["member_roles"]])
                    if r["member_roles"] else b"")
                 + (_packed(9, delta_mids, zigzag=True) if mids else b"")
-                + (_packed(10, [1] * len(mids)) if mids else b"")  # all WAY members
+                + (_packed(10, [_MEMBER_TYPES.index(t) for t in mt])
+                   if mids else b"")
             )
             rmsgs += _bytes_field(4, msg)
         if rmsgs:

@@ -41,6 +41,9 @@ RELATIONS_SCHEMA = T.StructType([
     T.StructField("id", T.LongType(), False),
     T.StructField("member_refs", T.ArrayType(T.LongType()), False),
     T.StructField("member_roles", T.ArrayType(T.StringType()), False),
+    # node|way|relation per member — OSM node/way id spaces OVERLAP, so
+    # an untyped ref cannot safely be matched against way ids
+    T.StructField("member_types", T.ArrayType(T.StringType()), False),
     T.StructField("tags", T.MapType(T.StringType(), T.StringType()), False),
 ])
 
@@ -71,6 +74,7 @@ def _parse(content: bytes):
             "id": int(r.get("id")),
             "member_refs": [int(m.get("ref")) for m in members],
             "member_roles": [m.get("role") or "" for m in members],
+            "member_types": [m.get("type") or "" for m in members],
             "tags": _tags(r),
         })
     return nodes, ways, rels
@@ -113,7 +117,13 @@ def to_existing_table(nodes: DataFrame, ways: DataFrame,
     With ``relations``, multipolygon relations (closed outer + inner
     ways) become ``kind='way'`` rows carrying their hole rings
     (§8.1 ext), and their member ways are excluded from the plain-way
-    rows (the outer would duplicate the polygon)."""
+    rows (the outer would duplicate the polygon). The exclusion is
+    scoped to WAY-typed outer/inner members of ``type=multipolygon``
+    relations only: a building way that is also a member of a
+    route/associatedStreet/boundary relation must still appear as
+    existing state (it would otherwise silently vanish and J3 dedupe
+    would re-emit a duplicate building), and an untyped node member id
+    must never be matched against the overlapping way id space."""
     from pyspark.sql import functions as F
 
     from mergeaddressesandbuildings_spark.operators.ways import (
@@ -137,9 +147,17 @@ def to_existing_table(nodes: DataFrame, ways: DataFrame,
     plain_ways = ways
     parts = [n]
     if relations is not None:
-        members = relations.select(
-            F.explode("member_refs").alias("id")
-        ).distinct()
+        mp_rels = relations.filter(
+            F.col("tags")["type"] == "multipolygon"
+        )
+        members = mp_rels.select(
+            F.explode(
+                F.arrays_zip("member_refs", "member_roles", "member_types")
+            ).alias("m")
+        ).filter(
+            (F.col("m.member_types") == "way")
+            & F.col("m.member_roles").isin("outer", "inner")
+        ).select(F.col("m.member_refs").alias("id")).distinct()
         plain_ways = ways.join(members, "id", "left_anti")
         mp = resolve_multipolygons(nodes, ways, relations).select(
             F.col("id").alias("elem_id"),

@@ -33,3 +33,29 @@ def test_direction_agnostic(spark):
     a = _clusters(spark, [(5, 2), (2, 9), (7, 9)])
     b = _clusters(spark, [(2, 5), (9, 2), (9, 7)])
     assert a == b == {2: 2, 5: 2, 7: 2, 9: 2}
+
+
+def test_scratch_dir_cleanup_and_nonconvergence(spark, tmp_path):
+    """Round-3 advisor: dup_clusters takes a scratch_dir (shared-FS
+    path on a cluster), removes intermediates, and raises loudly on
+    non-convergence instead of returning a partial clustering."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    scratch = str(tmp_path / "cc")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    out = doc_dedupe.dup_clusters(pairs, scratch_dir=scratch)
+    assert {r["cluster_id"] for r in out.collect()} == {1}
+    left = sorted(os.listdir(scratch))
+    # edges + superseded label rounds deleted; exactly the final round remains
+    assert len(left) == 1 and left[0].startswith("labels_")
+
+    # a 2^6-node chain cannot converge in 2 rounds even with halving
+    edges = [(i, i + 1) for i in range(64)]
+    big = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        doc_dedupe.dup_clusters(big, max_iters=2,
+                                scratch_dir=str(tmp_path / "cc2"))

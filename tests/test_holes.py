@@ -197,7 +197,19 @@ def test_multipolygon_resolver(spark):
     ]
     rels = [
         {"id": 7, "member_refs": [1, 2], "member_roles": ["outer", "inner"],
+         "member_types": ["way", "way"],
          "tags": {"type": "multipolygon", "building": "yes"}},
+        # boundary relations also use outer/inner roles — must NOT
+        # resolve into a phantom polygon (would blow MAX_COVER_CELLS on
+        # a real county boundary)
+        {"id": 8, "member_refs": [1], "member_roles": ["outer"],
+         "member_types": ["way"],
+         "tags": {"type": "boundary", "admin_level": "6"}},
+        # node-typed member whose id collides with way 1 — must be
+        # ignored (OSM node/way id spaces overlap)
+        {"id": 9, "member_refs": [1, 2], "member_roles": ["outer", "inner"],
+         "member_types": ["node", "way"],
+         "tags": {"type": "multipolygon"}},
     ]
     from mergeaddressesandbuildings_spark.sources.osm_xml import (
         NODES_SCHEMA, RELATIONS_SCHEMA, WAYS_SCHEMA,
