@@ -85,17 +85,18 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-def exact_dup_groups(docs: DataFrame) -> DataFrame:
-    """Exact dedup: hash-groupBy on content hash; map-side combinable."""
-    return (
+def exact_dup_groups(docs: DataFrame, dups_only: bool = True) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash; map-side combinable.
+    ``dups_only=False`` keeps singleton groups (the full keep-list)."""
+    out = (
         docs.select("doc_id", F.md5(F.col("text")).alias("content_md5"))
         .groupBy("content_md5")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.min("doc_id").alias("keep_doc_id"),
         )
-        .filter(F.col("n_docs") > 1)
     )
+    return out.filter(F.col("n_docs") > 1) if dups_only else out
 
 
 def top_terms(docs: DataFrame, k: int = 5) -> DataFrame:

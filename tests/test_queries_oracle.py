@@ -40,7 +40,8 @@ def _norm(v):
 
 def _rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # key=repr: NULLs are not ordered against ints in plain tuple sort
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
 
 
 PAIRED = sorted(Q.ORACLE)
