@@ -2,17 +2,29 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], plus the flagship merge pipeline on the
 deterministic pages fixture. Prints ONE JSON line.
+
+Round-3 protocol changes (round-2 judge findings):
+- per-query numbers are MEDIANS of BENCH_QUERY_REPS interleaved passes
+  (this host has calibrated 2-3x minute-scale single-run variance —
+  BENCH/BASELINE.md); per-query [min, max] spread is reported;
+- MinHash-LSH is timed in BOTH hash modes: the sha256 oracle mode the
+  driver hash-checks AND the xxhash64 scale default (the 100 TB path),
+  which round 2 left untimed;
+- `total_r1_query_set` = sum of medians over the round-1 query set, so
+  round-over-round deltas stay attributable as queries are added.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 MERGE_PAGES = int(os.environ.get("BENCH_MERGE_PAGES", "20000"))
+QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
 
 HEADLINE = [
     "pricing_summary",
@@ -26,12 +38,22 @@ HEADLINE = [
     "doc_exact_dedup",
     "ann_cosine_topk",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_scale",
     "morton_cells",
     "broadcast_nation_join",
     "street_normalize",
     "top_revenue_orders",
     "knn_topk_suppliers",
     "doc_dup_clusters",
+]
+
+# round-1 headline set (BENCH_r01.json) for the like-for-like subtotal
+R1_QUERY_SET = [
+    "pricing_summary", "segment_revenue", "top_order_per_customer",
+    "latest_event_per_user", "sessionize_events", "events_tumbling_hour",
+    "error_click_pairs", "doc_token_counts", "doc_exact_dedup",
+    "ann_cosine_topk", "minhash_lsh_pairs", "morton_cells",
+    "broadcast_nation_join", "street_normalize", "top_revenue_orders",
 ]
 
 # Measured host context for interpreting the numbers (see
@@ -42,8 +64,24 @@ HEADLINE = [
 HOST_CONTEXT = {
     "streaming_core_equivalents": "2-6 (calibrated; benchtools/calibrate_bandwidth.py)",
     "max_4_to_16_speedup": 2.63,
-    "note": "interleaved A/B medians required; 2.1x run variance observed",
+    "note": "per-query numbers are medians of interleaved reps",
 }
+
+
+def _minhash_scale_mode(spark, sf_dir):
+    """xxhash64 MinHash-LSH — the 100 TB default hash family (the
+    registered `minhash_lsh_pairs` query runs the deliberately heavier
+    sha256 family so DuckDB can hash-verify it; same plan shape)."""
+    from pyspark.sql import functions as F
+
+    from mergeaddressesandbuildings_spark.operators import doc_dedupe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 150
+    )
+    out = doc_dedupe.minhash_lsh_dedupe(docs, n=2, threshold=0.5,
+                                        hash="xxhash64")
+    return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b")
 
 
 def main() -> None:
@@ -56,6 +94,9 @@ def main() -> None:
                       shuffle_partitions=max(CPUS * 2, 16))
     spark.sparkContext.setLogLevel("ERROR")
 
+    runners = {n: Q.QUERIES[n] for n in HEADLINE if n in Q.QUERIES}
+    runners["minhash_lsh_pairs_scale"] = _minhash_scale_mode
+
     # warmup: spin up the Python UDF workers + JIT before the first
     # timed query (excluded from every timing, including the total)
     def _ident(batches):
@@ -64,13 +105,20 @@ def main() -> None:
     spark.range(100_000).mapInPandas(_ident, schema="id long") \
         .write.format("noop").mode("overwrite").save()
 
-    per_query: dict[str, float] = {}
     t_all = time.monotonic()
-    for name in HEADLINE:
-        t0 = time.monotonic()
-        df = Q.QUERIES[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.monotonic() - t0, 3)
+    # interleaved reps: pass r runs every query once, in order, so a
+    # host-load swing hits all queries alike instead of one of them
+    times: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    for _rep in range(QUERY_REPS):
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            df = runners[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            times[name].append(time.monotonic() - t0)
+
+    per_query = {n: round(statistics.median(ts), 3) for n, ts in times.items()}
+    spread = {n: [round(min(ts), 3), round(max(ts), 3)]
+              for n, ts in times.items()}
 
     # flagship merge pipeline end-to-end (generation + extract + join +
     # decisions + tiling), counted into the same budget
@@ -84,12 +132,23 @@ def main() -> None:
     per_query["merge_pipeline"] = round(merge_s, 3)
 
     total = time.monotonic() - t_all
+    total_1pass = round(sum(per_query.values()), 3)
+    total_r1 = round(
+        sum(per_query[n] for n in R1_QUERY_SET) + per_query["merge_pipeline"],
+        3,
+    )
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
     print(json.dumps({
         "metric": "e2e_bench_wall",
-        "value": round(total, 3),
+        # headline value: one median pass over every query + the merge —
+        # comparable across rounds regardless of rep count
+        "value": total_1pass,
         "unit": "sec",
         "queries": per_query,
+        "query_reps": QUERY_REPS,
+        "query_spread_s": spread,
+        "total_r1_query_set": total_r1,
+        "wall_including_reps": round(total, 3),
         "sf": sf,
         "cpus": CPUS,
         "merge_pages": MERGE_PAGES,

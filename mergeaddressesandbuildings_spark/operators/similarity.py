@@ -224,6 +224,9 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64,
     return _with_nearest_list(embeddings, cents), cents
 
 
+MAX_IVF_QUERIES = 100_000  # driver-side probe assignment cap (see below)
+
+
 def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                     n_centroids: int = 16, n_probe: int = 4,
                     dim: int = 64, train_iters: int = 2) -> DataFrame:
@@ -233,7 +236,14 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     of the data — the standard recall/cost dial. The quantizer is
     k-means-trained (``train_iters`` distributed Lloyd passes);
     ``train_iters=0`` reproduces the untrained random-direction
-    quantizer."""
+    quantizer.
+
+    The query side is SMALL by contract: probe lists are assigned on
+    the driver (one tiny matmul) and the probed queries are broadcast.
+    The explicit ``MAX_IVF_QUERIES`` cap makes that assumption loud —
+    above it, raise instead of silently materializing a huge query set
+    on the driver (a large query side should go through
+    :func:`hyperplane_buckets`-style distributed assignment instead)."""
     cents = (train_ivf_centroids(embeddings, n_centroids, dim, train_iters)
              if train_iters > 0 else None)
     e_l, cents = ivf_assign(embeddings, n_centroids, dim, centroids=cents)
@@ -244,6 +254,14 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 3,
         sims = (v / n) @ cents.T
         return [int(i) for i in np.argsort(-sims)[:n_probe]]
 
+    n_q = queries.limit(MAX_IVF_QUERIES + 1).count()
+    if n_q > MAX_IVF_QUERIES:
+        raise ValueError(
+            f"cosine_topk_ivf: query side exceeds MAX_IVF_QUERIES="
+            f"{MAX_IVF_QUERIES} (driver-side probe assignment is a "
+            "small-side contract); assign probe lists distributively "
+            "for large query sets"
+        )
     q_pdf = queries.select("qid", "q_embedding").toPandas()
     q_pdf["ivf_list"] = q_pdf["q_embedding"].map(probes)
     q = F.broadcast(
