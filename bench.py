@@ -25,6 +25,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 MERGE_PAGES = int(os.environ.get("BENCH_MERGE_PAGES", "20000"))
 QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+MERGE_REPS = int(os.environ.get("BENCH_MERGE_REPS", "3"))
 
 HEADLINE = [
     "pricing_summary",
@@ -121,15 +122,26 @@ def main() -> None:
               for n, ts in times.items()}
 
     # flagship merge pipeline end-to-end (generation + extract + join +
-    # decisions + tiling), counted into the same budget
-    t0 = time.monotonic()
-    p = pg.pages_df(spark, MERGE_PAGES)
-    e = pg.existing_osm_df(spark, MERGE_PAGES)
-    res = run_merge(spark, p, e)
-    n_assign = res.assignments.count()
-    res.tiles.write.format("noop").mode("overwrite").save()
-    merge_s = time.monotonic() - t0
+    # decisions + tiling). Median of MERGE_REPS runs: the FIRST merge in
+    # a JVM pays ~10-15 s of one-time whole-stage-codegen compilation of
+    # the ~400-op tree (measured: 30 s → 16 s → 14 s in one session) —
+    # a long-running cluster job amortizes that entirely, so the median
+    # is the honest steady-state figure and the first run is reported
+    # separately.
+    merge_times = []
+    n_assign = 0
+    for _rep in range(MERGE_REPS):
+        t0 = time.monotonic()
+        p = pg.pages_df(spark, MERGE_PAGES)
+        e = pg.existing_osm_df(spark, MERGE_PAGES)
+        res = run_merge(spark, p, e)
+        n_assign = res.assignments.count()
+        res.tiles.write.format("noop").mode("overwrite").save()
+        merge_times.append(time.monotonic() - t0)
+    merge_s = statistics.median(merge_times)
     per_query["merge_pipeline"] = round(merge_s, 3)
+    spread["merge_pipeline"] = [round(min(merge_times), 3),
+                                round(max(merge_times), 3)]
 
     total = time.monotonic() - t_all
     total_1pass = round(sum(per_query.values()), 3)
@@ -153,6 +165,8 @@ def main() -> None:
         "cpus": CPUS,
         "merge_pages": MERGE_PAGES,
         "merge_assignments": n_assign,
+        "merge_reps": MERGE_REPS,
+        "merge_first_run_s": round(merge_times[0], 3),
         "merge_pages_per_sec": round(MERGE_PAGES / merge_s, 1),
         "host_context": HOST_CONTEXT,
     }))
