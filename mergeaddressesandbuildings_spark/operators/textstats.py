@@ -187,3 +187,59 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         .select("doc_id", "once_words", "n_distinct_words",
                 "top_bigram_n", "n_bigrams")
     )
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """Composite C4/Gopher-style document filter: one row PER INPUT DOC
+    with a keep/drop verdict and the comma-joined names of every rule
+    that fired — the decision layer on top of the integer signals above.
+
+    All rules compare exact integers (never ratios), so the verdict is
+    bit-identical across engines and partitionings:
+
+    - ``too_short``    n_words < 5
+    - ``too_long``     n_words > 5000
+    - ``mean_word_short``  total non-space chars < 2·n_words
+    - ``mean_word_long``   total non-space chars > 12·n_words
+    - ``no_stopword``  zero corpus-stopword hits
+    - ``top_bigram_heavy`` most frequent bigram > 20% of all bigrams
+      (bigram-less docs never fire this — left join + coalesce)
+    - ``low_once_ratio``   words occurring exactly once < 20% of
+      distinct words (heavy repetition)
+
+    Plan: the per-doc scalar rules are one map-side projection; the
+    two aggregate signals reuse repetition_stats (two hash aggs + a
+    window) joined back LEFT so short docs keep their verdict row.
+    """
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    base = docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.length(F.regexp_replace(F.col("text"), " ", ""))
+         .cast("long").alias("n_chars_nospace"),
+        F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+         .cast("long").alias("n_stopwords"),
+    )
+    rep = repetition_stats(docs)
+    j = base.join(rep, "doc_id", "left")
+    rules = [
+        ("too_short", F.col("n_words") < 5),
+        ("too_long", F.col("n_words") > 5000),
+        ("mean_word_short", F.col("n_chars_nospace") < 2 * F.col("n_words")),
+        ("mean_word_long", F.col("n_chars_nospace") > 12 * F.col("n_words")),
+        ("no_stopword", F.col("n_stopwords") == 0),
+        ("top_bigram_heavy",
+         F.coalesce(F.col("top_bigram_n") * 5 > F.col("n_bigrams"),
+                    F.lit(False))),
+        ("low_once_ratio",
+         F.coalesce(F.col("once_words") * 5 < F.col("n_distinct_words"),
+                    F.lit(False))),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return j.select(
+        "doc_id", "n_words",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -1641,6 +1641,77 @@ def raster_sample_customers(spark, sf_dir):
     return raster.sample_raster(pts, grid, level=6).select("c_custkey", "val")
 
 
+@register(
+    "doc_quality_filter",
+    """
+    WITH w AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+             CAST(len(list_filter(ws, x -> x IN ('key','agg','row','scan')))
+                  AS BIGINT) AS n_stopwords
+      FROM w
+    ),
+    wc AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY 1, 2
+    ),
+    wstats AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS once_words,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_words
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)
+    ),
+    bc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, c AS top_bigram_n
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY c DESC, g) AS rn FROM bc)
+      WHERE rn = 1
+    ),
+    nb AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY 1),
+    j AS (
+      SELECT b.*, s.once_words, s.n_distinct_words, t.top_bigram_n, n.n_bigrams
+      FROM base b LEFT JOIN wstats s USING (doc_id)
+                  LEFT JOIN top t USING (doc_id)
+                  LEFT JOIN nb n USING (doc_id)
+    ),
+    v AS (
+      SELECT doc_id, n_words,
+             concat_ws(',',
+               CASE WHEN n_words < 5 THEN 'too_short' END,
+               CASE WHEN n_words > 5000 THEN 'too_long' END,
+               CASE WHEN n_chars_nospace < 2 * n_words THEN 'mean_word_short' END,
+               CASE WHEN n_chars_nospace > 12 * n_words THEN 'mean_word_long' END,
+               CASE WHEN n_stopwords = 0 THEN 'no_stopword' END,
+               CASE WHEN COALESCE(top_bigram_n * 5 > n_bigrams, FALSE)
+                    THEN 'top_bigram_heavy' END,
+               CASE WHEN COALESCE(once_words * 5 < n_distinct_words, FALSE)
+                    THEN 'low_once_ratio' END) AS reasons
+      FROM j
+    )
+    SELECT doc_id, n_words, (reasons = '') AS keep, reasons FROM v
+    """,
+)
+def doc_quality_filter(spark, sf_dir):
+    """Composite C4/Gopher-style keep/drop verdict per document with
+    fired-rule provenance (textstats.quality_filter) — the decision
+    layer of the quality pipeline, exact-integer rules only."""
+    return textstats.quality_filter(
+        _t(spark, sf_dir, "documents")
+    ).select(F.col("doc_id").cast("long").alias("doc_id"),
+             "n_words", "keep", "reasons")
+
+
 # ---------------------------------------------------------------------
 # Golden-parquet oracles (round 3): the 11 queries DuckDB SQL cannot
 # express directly (spatial merge internals, seeded LSH/IVF candidate
@@ -1709,6 +1780,11 @@ _DRIVER_WINDOW_TAIL = [
     "events_tumbling_hour",       # batch tumbling: streaming variant in
     "embedding_near_dup",         # exact pair kernel exercised inside
                                   # embedding_dup_clusters' oracle
+    "doc_quality_filter",         # round-3 addition: composes signals
+                                  # already hash-verified in-window
+                                  # (repetition/quality counts); parked
+                                  # in the tail so no in-window entry
+                                  # is evicted
 ]
 
 

@@ -47,3 +47,26 @@ def test_ngram_pairs_survive_short_docs(spark):
     docs = _docs(spark, ["solo", base, base])
     got = doc_dedupe.ngram_jaccard_pairs(docs, n=2, min_common=10).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+
+
+def test_quality_filter_verdicts(spark):
+    """Composite filter: every input doc gets exactly one verdict row
+    (LEFT-join semantics keep bigram-less docs), and rule provenance
+    fires as specified."""
+    good = "key alpha beta gamma delta agg epsilon zeta row eta theta scan"
+    docs = _docs(spark, [
+        "",                       # too_short (+mean_word_short, no_stopword)
+        "hi",                     # too_short + no_stopword
+        good,                     # keep
+        "x " * 499 + "x",         # 500 1-char words: mean_word_short...
+        ("key agg " * 50).strip(),  # heavy bigram repetition
+    ])
+    got = {r["doc_id"]: r for r in textstats.quality_filter(docs).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[2]["keep"] is True and got[2]["reasons"] == ""
+    assert "too_short" in got[0]["reasons"]
+    assert "too_short" in got[1]["reasons"]
+    assert got[3]["keep"] is False
+    assert "mean_word_short" in got[3]["reasons"]
+    assert "low_once_ratio" in got[3]["reasons"]
+    assert "top_bigram_heavy" in got[4]["reasons"]
