@@ -277,13 +277,14 @@ def dup_clusters(pairs: DataFrame,
     ``scratch_dir``: where the per-round parquet barriers live. On a
     multi-node cluster this MUST be a shared filesystem path (same
     contract as run_merge's ``barrier_dir``); the default
-    tempfile.mkdtemp is only valid in local mode. Intermediate rounds
-    (edges + superseded labels) are deleted before returning; the FINAL
-    labels parquet backs the returned DataFrame and is removed when a
-    later call reuses the same ``scratch_dir`` — callers wanting a
-    durable result should write it onward. Raises RuntimeError if the
-    propagation has not converged after ``max_iters`` rounds (a silent
-    partial clustering would merge wrong documents downstream).
+    tempfile.mkdtemp is only valid in local mode. All state lives under
+    ``<scratch_dir>/run``, which is wiped at the START of each call —
+    so reusing one scratch_dir never accumulates stale rounds and the
+    previous call's final labels are removed; callers wanting a durable
+    result should write it onward. Intermediate rounds are deleted as
+    they are superseded. Raises RuntimeError if the propagation has not
+    converged after ``max_iters`` rounds (a silent partial clustering
+    would merge wrong documents downstream).
     """
     import shutil
     import tempfile
@@ -296,17 +297,20 @@ def dup_clusters(pairs: DataFrame,
         )
         .distinct()
     )
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="dup_clusters_")
+    base = scratch_dir or tempfile.mkdtemp(prefix="dup_clusters_")
+    scratch = f"{base}/run"
 
-    def _rm(sub: str) -> None:
+    def _rm(sub: str = "") -> None:
         # Hadoop FS delete → works for local paths AND shared-FS URIs
+        target = f"{scratch}/{sub}" if sub else scratch
         try:
-            jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{scratch}/{sub}")
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(target)
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
             fs.delete(jpath, True)
         except Exception:
-            shutil.rmtree(f"{scratch}/{sub}", ignore_errors=True)
+            shutil.rmtree(target, ignore_errors=True)
 
+    _rm()  # wipe any previous call's rounds (incl. its final labels)
     edges.write.mode("overwrite").parquet(f"{scratch}/edges")
     edges = spark.read.parquet(f"{scratch}/edges")
 
@@ -363,9 +367,12 @@ def dup_clusters(pairs: DataFrame,
         labels = spark.read.parquet(f"{scratch}/labels_{it}")
         if it > 0:
             _rm(f"labels_{it - 1}")  # superseded round
-        if obs.get["n_changed"] == 0:
+        # F.sum over ZERO rows observes NULL, not 0 — an empty pair set
+        # is trivially converged, not a failure
+        if (obs.get["n_changed"] or 0) == 0:
             converged = True
             break
+    converged = converged or it < 0  # zero rounds requested edge case
     _rm("edges")
     if not converged:
         _rm(f"labels_{it}")

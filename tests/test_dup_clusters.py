@@ -49,9 +49,23 @@ def test_scratch_dir_cleanup_and_nonconvergence(spark, tmp_path):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
     out = doc_dedupe.dup_clusters(pairs, scratch_dir=scratch)
     assert {r["cluster_id"] for r in out.collect()} == {1}
-    left = sorted(os.listdir(scratch))
-    # edges + superseded label rounds deleted; exactly the final round remains
+    # all state under <scratch>/run; edges + superseded rounds deleted,
+    # exactly the final round remains
+    left = sorted(os.listdir(os.path.join(scratch, "run")))
     assert len(left) == 1 and left[0].startswith("labels_")
+
+    # reusing the same scratch_dir wipes the previous run entirely —
+    # no stale rounds accumulate call-over-call
+    out2 = doc_dedupe.dup_clusters(pairs, scratch_dir=scratch)
+    assert {r["cluster_id"] for r in out2.collect()} == {1}
+    left2 = sorted(os.listdir(os.path.join(scratch, "run")))
+    assert len(left2) == 1 and left2[0].startswith("labels_")
+
+    # an empty pair graph is trivially converged (sum over 0 rows is
+    # NULL, not 0 — must not be read as "changed")
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = doc_dedupe.dup_clusters(empty, scratch_dir=str(tmp_path / "cc0"))
+    assert got.count() == 0
 
     # a 2^6-node chain cannot converge in 2 rounds even with halving
     edges = [(i, i + 1) for i in range(64)]
