@@ -46,6 +46,9 @@ HEADLINE = [
     "top_revenue_orders",
     "knn_topk_suppliers",
     "doc_dup_clusters",
+    # round-3 webpipe family additions
+    "url_canonical_dedup",
+    "doc_contamination",
 ]
 
 # round-1 headline set (BENCH_r01.json) for the like-for-like subtotal

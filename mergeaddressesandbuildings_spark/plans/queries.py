@@ -1767,6 +1767,185 @@ ORACLE.update({
 # inside the window.
 # ---------------------------------------------------------------------
 
+# --- web-corpus pipeline family (operators/webpipe.py) -----------------
+# The documents fixture has no URL column, so the URL queries synthesize
+# deterministic Common-Crawl-style messy URLs from (source, doc_id) —
+# identically derivable on both engines — and the ORACLE computes the
+# EXPECTED canonical form from the synthesis rule directly (independent
+# derivation, not a mirror of the Spark regex pipeline), so a
+# canonicalization bug cannot cancel out.
+
+def _messy_url() -> "F.Column":
+    """CC-style messy URL: uppercase scheme/host, default port on even
+    ids, tracking params in varying positions, fragment on 7|id."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTP://WWW."), F.col("source"), F.lit(".Example.COM"),
+        F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/page/"), (d % 10).cast("string"),
+        F.when(d % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 3 == 1, F.lit("?a=1&utm_campaign=x&b=2"))
+        .otherwise(F.lit("?b=2&a=1")),
+        F.when(d % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "url_canonical_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'http://www.' || source || '.example.com/page/' ||
+             CAST(doc_id % 10 AS VARCHAR) || '?a=1&b=2' AS canonical_url
+      FROM documents
+    )
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_captures,
+           MIN(doc_id) AS keep_doc_id
+    FROM u GROUP BY 1
+    """,
+)
+def url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization (lowercase scheme/host, strip default port
+    + fragment + tracking params, sort the rest) + URL-level dedup
+    groups (operators/webpipe.py). The oracle derives the expected
+    canonical URL from the synthesis rule independently."""
+    from mergeaddressesandbuildings_spark.operators import webpipe
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _messy_url())
+    return webpipe.url_dedup_groups(docs, url_col="url", id_col="doc_id")
+
+
+@register(
+    "domain_cap_sample",
+    """
+    SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rank_in_domain
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def domain_cap_sample(spark, sf_dir):
+    """Per-domain cap (keep the 3 longest docs per domain, ties by
+    doc_id) — how crawl pipelines stop giant hosts from dominating the
+    training mix (operators/webpipe.py, skew notes there)."""
+    from mergeaddressesandbuildings_spark.operators import webpipe
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = webpipe.cap_per_domain(
+        docs, domain_col="source", k=3,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return capped.select(
+        "source", "doc_id", "n_chars",
+        F.col("rank_in_domain").cast("long").alias("rank_in_domain"),
+    )
+
+
+@register(
+    "doc_pii_redact",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_emails,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ips,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_phones,
+           sha256(
+             text
+             || CASE WHEN doc_id % 4 = 0 THEN ''
+                     ELSE ' Contact <EMAIL>.' END
+             || CASE WHEN doc_id % 3 = 0 THEN ' from <IP>' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' call <PHONE>' ELSE '' END
+           ) AS redacted_sha
+    FROM documents
+    """,
+)
+def doc_pii_redact(spark, sf_dir):
+    """PII redaction (emails / IPv4s / phone numbers → typed
+    placeholders, operators/webpipe.py) over documents with
+    deterministic injected PII. The oracle computes the expected
+    redacted text from the injection rule — it never runs the redaction
+    regexes — so counts AND the redacted sha are independently
+    derived."""
+    from mergeaddressesandbuildings_spark.operators import webpipe
+
+    d = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0, F.lit("")).otherwise(F.concat(
+            F.lit(" Contact user"), d.cast("string"),
+            F.lit("@mail.example.com."))),
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" from 10."), (d % 200).cast("string"), F.lit(".0.1"))
+        ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(
+            F.lit(" call +1-555-"), F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-0142"))
+        ).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").withColumn("text", pii_text)
+    return webpipe.pii_stats(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "doc_contamination",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w)
+    ),
+    b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM g JOIN b USING (gram)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY 1
+    """,
+)
+def doc_contamination(spark, sf_dir):
+    """Benchmark-contamination screen: distinct word trigrams of each
+    corpus doc joined against the (broadcast) trigram set of a
+    benchmark subset (doc_id % 97 == 0 stands in for the benchmark) —
+    the standard decontamination pass before training on web text
+    (operators/webpipe.py)."""
+    from mergeaddressesandbuildings_spark.operators import webpipe
+
+    docs = _t(spark, sf_dir, "documents")
+    return webpipe.contamination_screen(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=3,
+    )
+
+
+@register(
+    "doc_shard_assign",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(sha256('shard|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8
+                                   ORDER BY hv, doc_id) AS BIGINT)
+             AS pos_in_shard
+    FROM h
+    """,
+)
+def doc_shard_assign(spark, sf_dir):
+    """Deterministic global shuffle for training order: stable hash →
+    shard + in-shard position, reproducible across runs/engines/cluster
+    sizes (operators/webpipe.py; sha256-hex-window family shared with
+    operators/sampling.py — NOT rand())."""
+    from mergeaddressesandbuildings_spark.operators import webpipe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return webpipe.shard_assign(docs, F.col("doc_id"), n_shards=8)
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -1780,11 +1959,16 @@ _DRIVER_WINDOW_TAIL = [
     "events_tumbling_hour",       # batch tumbling: streaming variant in
     "embedding_near_dup",         # exact pair kernel exercised inside
                                   # embedding_dup_clusters' oracle
-    "doc_quality_filter",         # round-3 addition: composes signals
-                                  # already hash-verified in-window
-                                  # (repetition/quality counts); parked
-                                  # in the tail so no in-window entry
-                                  # is evicted
+    # Displaced round-3 to make window room for the webpipe family +
+    # doc_quality_filter (never driver-run). Every entry below is
+    # driver-green in BOTH r1 and r2 (CORRECTNESS_r01/r02), so parking
+    # them costs no evidence:
+    "union_segments",             # union: r1+r2 green
+    "error_click_pairs",          # self-join: r1+r2 green
+    "sessionize_events",          # session window: r1+r2 green
+    "doc_token_counts",           # scalar text fns: r1+r2 green
+    "doc_lang_guess",             # n-gram heuristic: r1+r2 green
+    "doc_fingerprints",           # rolling hash: r1+r2 green
 ]
 
 

@@ -38,7 +38,21 @@ def write_bucketed(
     ``spark.sql.warehouse.dir`` at shared storage).
 
     ``sort_cols`` additionally sorts within each bucket file, which
-    upgrades co-located joins to sort-merge WITHOUT a sort stage."""
+    upgrades co-located joins to sort-merge WITHOUT a sort stage.
+
+    Overwrites are made idempotent across SESSIONS: a managed table's
+    location can survive in the warehouse dir after the (in-memory)
+    metastore that knew about it is gone, and ``saveAsTable`` then
+    fails with LOCATION_ALREADY_EXISTS even in overwrite mode — so the
+    stale location is dropped first when the catalog has no entry."""
+    if mode == "overwrite":
+        spark = df.sparkSession
+        if not spark.catalog.tableExists(table):
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            loc = f"{wh}/{table.split('.')[-1].lower()}"
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(loc)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
     w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
