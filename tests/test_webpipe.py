@@ -50,6 +50,28 @@ def test_canonical_url_cases(spark):
     assert got[6] == got[7]
 
 
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over a combinatorial
+    grid of scheme/host/port/path/query/fragment variants — the
+    property that makes re-canonicalizing an already-clean corpus a
+    no-op (one batch, column-wise, no per-example Spark round-trips)."""
+    urls = []
+    for scheme in ("http", "HTTPS"):
+        for host in ("Example.com", "WWW.sub.EXAMPLE.org"):
+            for port in ("", ":80", ":443", ":8080"):
+                for path in ("", "/", "/A/b"):
+                    for q in ("", "?b=2&a=1", "?utm_source=x",
+                              "?utm_source=x&z=9&a=1"):
+                        for frag in ("", "#sec"):
+                            urls.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = webpipe.canonical_url(F.col("url"))
+    twice = webpipe.canonical_url(webpipe.canonical_url(F.col("url")))
+    bad = df.select(F.col("url"), once.alias("c1"), twice.alias("c2")) \
+        .filter(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], bad[:5]
+
+
 def test_url_dedup_groups(spark):
     df = spark.createDataFrame(
         [(1, "http://A.com/x?b=2&a=1"),
