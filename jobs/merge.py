@@ -175,7 +175,9 @@ def main() -> None:
         "job": "merge",
         "phase_s": {"load": round(t_load, 2), "compute": round(t_compute, 2),
                     "write": round(t_write, 2)},
-        "master": args.master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}]",
+        # the REAL context master — under spark-submit the JVM is already
+        # up, so builder/arg master is ignored and echoing it would lie
+        "master": spark.sparkContext.master,
         "n_pages": n_pages,
         "n_assignments": n_assign,
         "n_tiles": n_tiles,

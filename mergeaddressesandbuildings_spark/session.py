@@ -15,11 +15,14 @@ def get_spark(master: str | None = None, app_name: str = "merge-engine",
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER") and not os.environ.get("SPARK_SUBMIT_MASTER"):
+    elif (not os.environ.get("PYSPARK_GATEWAY_PORT")
+          and not os.environ.get("SPARK_MASTER")
+          and not os.environ.get("SPARK_SUBMIT_MASTER")):
         # default for in-process runs (tests, bench.py). Under
-        # spark-submit, export SPARK_SUBMIT_MASTER=1 (or pass the job's
-        # --master flag) so --master on the submit command line wins —
-        # builder.master() would otherwise override it.
+        # spark-submit the JVM gateway already carries --master from the
+        # submit command line (PYSPARK_GATEWAY_PORT is set in that and
+        # only that launch path — verified empirically), and
+        # builder.master() here would silently override it.
         builder = builder.master(f"local[{cpus}]")
     conf = {
         "spark.sql.adaptive.enabled": "true",
