@@ -1946,6 +1946,79 @@ def doc_shard_assign(spark, sf_dir):
     return webpipe.shard_assign(docs, F.col("doc_id"), n_shards=8)
 
 
+@register(
+    "url_stream_latest",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'http://www.' || source || '.example.com/page/' ||
+             CAST(doc_id % 10 AS VARCHAR) || '?a=1&b=2' AS canonical_url,
+             1600000000 + doc_id AS warc_ts
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             'http://www.' || source || '.example.com/page/' ||
+             CAST(doc_id % 10 AS VARCHAR) || '?a=1&b=2',
+             1600000000 + doc_id + 100000
+      FROM documents
+    )
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_captures,
+           MAX(doc_id) AS winner_doc_id, MAX(warc_ts) AS winner_ts
+    FROM u GROUP BY 1
+    """,
+)
+def url_stream_latest(spark, sf_dir):
+    """Streaming URL latest-capture-wins via a REAL streaming run
+    (streaming/url_stream.py): the crawl and a later full re-crawl
+    (shifted ids → strictly later timestamps, messier URL decorations)
+    arrive as two microbatches; the stateful operator must converge to
+    the re-crawl's capture per canonical URL with the full running
+    count. The oracle is the batch group-by over the same capture log
+    — timestamps strictly increase with doc id here, so the
+    max-ts/min-doc winner is expressible as plain MAX()."""
+    import os
+    import tempfile
+
+    from mergeaddressesandbuildings_spark.streaming import url_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    ts = (F.lit(1600000000) + F.col("doc_id")).cast("long").alias("warc_ts")
+    b1 = docs.select(_messy_url().alias("url"), ts, "doc_id")
+    b2 = (docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+          .select(_messy_url().alias("url"), ts, "doc_id"))
+    src_dir = tempfile.mkdtemp(prefix="url_stream_")
+    b1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "b1"))
+    b2.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "b2"))
+    flat = tempfile.mkdtemp(prefix="url_stream_flat_")
+    for sub in ("b1", "b2"):  # one data file per microbatch, ordered
+        d = os.path.join(src_dir, sub)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(d, f),
+                           os.path.join(flat, f"{sub}.parquet"))
+
+    captures = (
+        spark.readStream.schema("url string, warc_ts long, doc_id long")
+        .option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"url_stream_latest_{_STREAM_SEQ[0]}"
+    q = (url_stream.stream_url_latest(captures)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # final update per key = the row with the highest running count
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("n_captures_so_far").desc())
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        .select("canonical_url",
+                F.col("n_captures_so_far").alias("n_captures"),
+                "winner_doc_id", "winner_ts")
+    )
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -1964,6 +2037,7 @@ _DRIVER_WINDOW_TAIL = [
     # driver-green in BOTH r1 and r2 (CORRECTNESS_r01/r02), so parking
     # them costs no evidence:
     "union_segments",             # union: r1+r2 green
+    "doc_quality_counts",         # scalar text signals: r1+r2 green
     "error_click_pairs",          # self-join: r1+r2 green
     "sessionize_events",          # session window: r1+r2 green
     "doc_token_counts",           # scalar text fns: r1+r2 green
