@@ -373,6 +373,11 @@ def dup_clusters(pairs: DataFrame,
             converged = True
             break
     converged = converged or it < 0  # zero rounds requested edge case
+    if it < 0:
+        # no round ran, so `labels` still reads the edges parquet that
+        # the next line deletes — barrier it to its own files first
+        labels.write.mode("overwrite").parquet(f"{scratch}/labels_init")
+        labels = spark.read.parquet(f"{scratch}/labels_init")
     _rm("edges")
     if not converged:
         _rm(f"labels_{it}")

@@ -254,15 +254,18 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 3,
         sims = (v / n) @ cents.T
         return [int(i) for i in np.argsort(-sims)[:n_probe]]
 
-    n_q = queries.limit(MAX_IVF_QUERIES + 1).count()
-    if n_q > MAX_IVF_QUERIES:
+    # one scan enforces the cap AND fetches the rows: pull cap+1, and
+    # the presence of the extra row proves the violation (a separate
+    # count() would execute a potentially expensive query plan twice)
+    q_pdf = (queries.select("qid", "q_embedding")
+             .limit(MAX_IVF_QUERIES + 1).toPandas())
+    if len(q_pdf) > MAX_IVF_QUERIES:
         raise ValueError(
             f"cosine_topk_ivf: query side exceeds MAX_IVF_QUERIES="
             f"{MAX_IVF_QUERIES} (driver-side probe assignment is a "
             "small-side contract); assign probe lists distributively "
             "for large query sets"
         )
-    q_pdf = queries.select("qid", "q_embedding").toPandas()
     q_pdf["ivf_list"] = q_pdf["q_embedding"].map(probes)
     q = F.broadcast(
         queries.sparkSession.createDataFrame(q_pdf)

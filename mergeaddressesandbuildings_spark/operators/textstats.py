@@ -223,7 +223,10 @@ def quality_filter(docs: DataFrame) -> DataFrame:
     rep = repetition_stats(docs)
     j = base.join(rep, "doc_id", "left")
     rules = [
-        ("too_short", F.col("n_words") < 5),
+        # NULL text yields NULL n_words, which would skip every rule
+        # and silently KEEP the doc — treat it as too_short instead
+        ("too_short",
+         (F.col("n_words") < 5) | F.col("n_words").isNull()),
         ("too_long", F.col("n_words") > 5000),
         ("mean_word_short", F.col("n_chars_nospace") < 2 * F.col("n_words")),
         ("mean_word_long", F.col("n_chars_nospace") > 12 * F.col("n_words")),

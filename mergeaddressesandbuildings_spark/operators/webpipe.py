@@ -150,14 +150,22 @@ def pii_stats(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """Per-document PII counts + sha256 of the redacted text —
     ``(doc_id, n_emails, n_ips, n_phones, redacted_sha)``. The sha
-    makes redaction output hash-verifiable without shipping the text."""
+    makes redaction output hash-verifiable without shipping the text.
+
+    Counts are taken SEQUENTIALLY, each against the text the previous
+    redaction produced (exactly ``redact_pii``'s order), so they
+    describe the attested redaction: a dotted host inside an email is
+    counted as part of the email, never double-counted as an IP."""
     t = F.col(text_col)
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
     return df.select(
         F.col(id_col),
         _count_matches(t, EMAIL_RE).alias("n_emails"),
-        _count_matches(t, IPV4_RE).alias("n_ips"),
-        _count_matches(t, PHONE_RE).alias("n_phones"),
-        F.sha2(redact_pii(t).cast("binary"), 256).alias("redacted_sha"),
+        _count_matches(after_email, IPV4_RE).alias("n_ips"),
+        _count_matches(after_ip, PHONE_RE).alias("n_phones"),
+        F.sha2(F.regexp_replace(after_ip, PHONE_RE, "<PHONE>")
+               .cast("binary"), 256).alias("redacted_sha"),
     )
 
 

@@ -1688,7 +1688,7 @@ def raster_sample_customers(spark, sf_dir):
     v AS (
       SELECT doc_id, n_words,
              concat_ws(',',
-               CASE WHEN n_words < 5 THEN 'too_short' END,
+               CASE WHEN n_words < 5 OR n_words IS NULL THEN 'too_short' END,
                CASE WHEN n_words > 5000 THEN 'too_long' END,
                CASE WHEN n_chars_nospace < 2 * n_words THEN 'mean_word_short' END,
                CASE WHEN n_chars_nospace > 12 * n_words THEN 'mean_word_long' END,

@@ -49,7 +49,13 @@ def write_bucketed(
         spark = df.sparkSession
         if not spark.catalog.tableExists(table):
             wh = spark.conf.get("spark.sql.warehouse.dir")
-            loc = f"{wh}/{table.split('.')[-1].lower()}"
+            # managed-table layout: <warehouse>/<db>.db/<table> except
+            # the default database, which lives at <warehouse>/<table>
+            parts = table.lower().split(".")
+            db = parts[-2] if len(parts) > 1 else \
+                spark.catalog.currentDatabase().lower()
+            prefix = "" if db == "default" else f"{db}.db/"
+            loc = f"{wh}/{prefix}{parts[-1]}"
             jpath = spark._jvm.org.apache.hadoop.fs.Path(loc)
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
             fs.delete(jpath, True)

@@ -503,8 +503,11 @@ def write_pbf(path: str,
             mids = r["member_refs"]
             delta_mids = [m - p for m, p in zip(mids, [0] + mids[:-1])]
             # member types: honor the row's member_types (node/way/
-            # relation); rows without one (legacy fixtures) default way
+            # relation); rows without one (legacy fixtures) default
+            # way, as does any PER-ELEMENT blank — XML members with no
+            # type attribute parse as '' and PBF has no untyped slot
             mt = r.get("member_types") or ["way"] * len(mids)
+            mt = [t if t in _MEMBER_TYPES else "way" for t in mt]
             msg = (
                 _field(1, 0) + _encode_int64(r["id"])
                 + (_packed(2, [lut[k] for k in r["tags"]]) if r["tags"] else b"")

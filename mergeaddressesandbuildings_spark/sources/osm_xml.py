@@ -147,6 +147,15 @@ def to_existing_table(nodes: DataFrame, ways: DataFrame,
     plain_ways = ways
     parts = [n]
     if relations is not None:
+        if "member_types" not in relations.columns:
+            # legacy relations frames (pre-member_types parquet, same
+            # compatibility contract as ways.resolve_multipolygons and
+            # the PBF writer): default every member to way-typed so the
+            # multipolygon exclusion below still resolves
+            relations = relations.withColumn(
+                "member_types",
+                F.transform(F.col("member_refs"), lambda _: F.lit("way")),
+            )
         mp_rels = relations.filter(
             F.col("tags")["type"] == "multipolygon"
         )

@@ -50,6 +50,13 @@ def stream_url_latest(captures: DataFrame,
         webpipe.canonical_url(F.col(url_col)).alias("canonical_url"),
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(ts_col).cast("long").alias("ts"),
+    ).filter(
+        # a null/uncastable ts or id would raise int(NaN) inside the
+        # state worker and kill the whole query — drop malformed
+        # captures JVM-side instead of letting one bad row poison the
+        # stream (a null url canonicalizes to NULL and is dropped too)
+        F.col("canonical_url").isNotNull()
+        & F.col("doc_id").isNotNull() & F.col("ts").isNotNull()
     )
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_minutes

@@ -71,3 +71,29 @@ def test_bucketed_roundtrip_values(spark, tables):
         .filter(F.col("n") != 3).count()
     )
     assert got == 0  # every building has exactly 3 assignments
+
+
+def test_overwrite_with_stale_location_in_named_database(spark):
+    """Round-3 review: the stale-location cleanup must target the
+    managed layout <warehouse>/<db>.db/<table> for non-default
+    databases — deleting <warehouse>/<table> instead leaves the real
+    leftover in place and saveAsTable dies with
+    LOCATION_ALREADY_EXISTS."""
+    import os
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktdb")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    # simulate a leftover location from a dead session's metastore:
+    # files on disk, no catalog entry
+    loc = os.path.join(wh, "bktdb.db", "t_stale")
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "junk"), "w") as f:
+        f.write("stale")
+    spark.sql("DROP TABLE IF EXISTS bktdb.t_stale")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    B.write_bucketed(df, "bktdb.t_stale", ["k"], n_buckets=4)
+    got = B.read_bucketed(spark, "bktdb.t_stale")
+    assert got.count() == 100
+    spark.sql("DROP TABLE bktdb.t_stale")
+    spark.sql("DROP DATABASE bktdb")

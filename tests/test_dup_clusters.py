@@ -73,3 +73,13 @@ def test_scratch_dir_cleanup_and_nonconvergence(spark, tmp_path):
     with pytest.raises(RuntimeError, match="did not converge"):
         doc_dedupe.dup_clusters(big, max_iters=2,
                                 scratch_dir=str(tmp_path / "cc2"))
+
+
+def test_zero_rounds_requested_is_identity(spark, tmp_path):
+    """max_iters=0 must return the initial (identity) labels and stay
+    readable after the edges barrier is deleted — the zero-round
+    lineage previously pointed at the removed edges parquet."""
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = doc_dedupe.dup_clusters(pairs, max_iters=0,
+                                  scratch_dir=str(tmp_path / "cc0"))
+    assert {r["doc_id"]: r["cluster_id"] for r in out.collect()} == {1: 1, 2: 2}

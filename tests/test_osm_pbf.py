@@ -233,3 +233,19 @@ def test_multiblob_parallel_read(spark, tmp_path):
         g = got[n["id"]]
         assert g["lat"] == n["lat"] and g["lon"] == n["lon"]
         assert dict(g["tags"]) == n["tags"]
+
+
+def test_blank_member_type_defaults_to_way(spark, tmp_path):
+    """XML members with no type attribute parse as '' — the PBF writer
+    must map any non-(node|way|relation) entry to way instead of
+    crashing on _MEMBER_TYPES.index('')."""
+    nodes, ways, _ = _fixture()
+    relations = [{"id": 300, "member_refs": [101, 10],
+                  "member_roles": ["outer", "stop"],
+                  "member_types": ["way", ""],
+                  "tags": {"type": "multipolygon"}}]
+    path = str(tmp_path / "blank_mt.osm.pbf")
+    osm_pbf.write_pbf(path, nodes, ways, relations)
+    got = osm_pbf.read_relations(spark, path).collect()
+    assert len(got) == 1
+    assert list(got[0]["member_types"]) == ["way", "way"]

@@ -77,3 +77,19 @@ def test_route_member_way_kept_as_existing(spark, tmp_path):
     assert ways_out[101]["tags"]["building"] == "church"
     assert ways_out[102]["tags"]["building"] == "garage"
     assert ways_out[500]["tags"]["type"] == "multipolygon"
+
+
+def test_legacy_relations_frame_without_member_types(spark, tmp_path):
+    """A relations frame from a pre-member_types parquet (no
+    `member_types` column) must still flow through to_existing_table —
+    members default to way-typed, so the multipolygon exclusion
+    resolves identically to the typed path for way members."""
+    nodes, ways, rels = _tables(spark, tmp_path)
+    typed = osm_xml.to_existing_table(nodes, ways, rels)
+    legacy = osm_xml.to_existing_table(nodes, ways, rels.drop("member_types"))
+    t = {(r["elem_id"], r["kind"]) for r in typed.select("elem_id", "kind").collect()}
+    l = {(r["elem_id"], r["kind"]) for r in legacy.select("elem_id", "kind").collect()}
+    # the only divergence the default can introduce is node members
+    # being treated as ways; this fixture's multipolygon members are
+    # way-typed, so the two paths must agree exactly
+    assert t == l

@@ -70,3 +70,17 @@ def test_quality_filter_verdicts(spark):
     assert "mean_word_short" in got[3]["reasons"]
     assert "low_once_ratio" in got[3]["reasons"]
     assert "top_bigram_heavy" in got[4]["reasons"]
+
+
+def test_quality_filter_null_text_is_too_short(spark):
+    """NULL text must be DROPPED (too_short), not silently kept: a null
+    n_words would otherwise skip every rule and pass the filter."""
+    import pandas as pd
+
+    rows = pd.DataFrame([{"doc_id": 0, "lang": "en", "text": None},
+                         {"doc_id": 1, "lang": "en", "text": "hi"}])
+    rows["text"] = rows["text"].astype(object)
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in textstats.quality_filter(docs).collect()}
+    assert got[0]["keep"] is False and "too_short" in got[0]["reasons"]
+    assert "too_short" in got[1]["reasons"]

@@ -91,3 +91,22 @@ def test_ties_break_to_lowest_doc_id(spark, tmp_path):
     assert len(r) == 1
     assert (r[0]["winner_doc_id"], r[0]["winner_ts"],
             r[0]["n_captures_so_far"]) == (2, 100, 3)
+
+
+def test_malformed_captures_dropped_not_poisonous(spark, tmp_path):
+    """Null url/ts/doc_id rows are dropped JVM-side before the state
+    worker — one bad capture must not kill the stream."""
+    src = str(tmp_path / "src")
+    _drop(spark, src, [
+        (None, 100, 1),                  # null url
+        ("http://a.com/x", None, 2),     # null ts
+        ("http://a.com/x", 300, None),   # null doc id
+        ("http://a.com/x", 200, 4),      # the only well-formed capture
+    ])
+    captures = spark.readStream.schema(_SCHEMA).parquet(src)
+    _run(url_stream.stream_url_latest(captures), "url_latest_nulls")
+    rows = spark.sql("select * from url_latest_nulls").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["canonical_url"], r["winner_doc_id"], r["winner_ts"],
+            r["n_captures_so_far"]) == ("http://a.com/x", 4, 200, 1)

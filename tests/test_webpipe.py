@@ -153,3 +153,19 @@ def test_shard_assign_deterministic_and_balanced(spark):
         F.countDistinct("pos_in_shard").alias("nd")).collect()
     for r in chk:
         assert r["mn"] == 1 and r["mx"] == r["n"] == r["nd"]
+
+
+def test_pii_counts_are_sequential_and_sha_attested(spark):
+    """Round-3 review: counts must describe the SEQUENTIAL redaction.
+    An email whose host reads like a dotted quad is one email, not an
+    email plus an IP — and redacted_sha must equal sha256 of the
+    actual redact_pii output."""
+    df = spark.createDataFrame(
+        [(1, "mail u@1.2.3.4.example.com then 10.0.0.1 done")],
+        "doc_id long, text string")
+    out = webpipe.pii_stats(df).collect()[0]
+    assert (out["n_emails"], out["n_ips"], out["n_phones"]) == (1, 1, 0)
+    sha = df.select(
+        F.sha2(webpipe.redact_pii(F.col("text")).cast("binary"), 256)
+    ).collect()[0][0]
+    assert out["redacted_sha"] == sha
