@@ -55,3 +55,33 @@ def stratified_sample(df: DataFrame, key: Column, strat: Column,
         thresh = F.when(strat == value, F.lit(int(round(frac * 10000)))) \
             .otherwise(thresh)
     return df.filter(h < thresh)
+
+
+def token_budget_sample(df: DataFrame, budget: int, tokens_col: str,
+                        strat: Column, key: Column,
+                        prefix: str = "budget|") -> DataFrame:
+    """Exact-size corpus curation: keep documents per stratum, in
+    stable hash order, until a token budget is exhausted — a row is
+    kept iff the cumulative token count of the rows BEFORE it (hash
+    order, key tiebreak) is under ``budget``. Unlike the rate-based
+    samplers above, this pins the ABSOLUTE number of tokens drawn from
+    each stratum (the "2B tokens of wiki, 500M of forums" recipe),
+    and the hash ordering makes the drawn set reproducible across
+    runs, engines, and cluster sizes.
+
+    Adds ``sort_hash`` (the 60-bit order key) and ``cum_before``
+    columns. One window shuffle keyed by the stratum; for a stratum
+    too hot for one partition, the range-partitioned distributed
+    prefix sum in operators/packing.py is the drop-in template."""
+    from pyspark.sql import Window
+
+    h = ids_sql.sha256_hash60_expr(key.cast("string"), prefix=prefix)
+    out = df.withColumn("sort_hash", h)
+    w = Window.partitionBy(strat).orderBy(F.col("sort_hash").asc(),
+                                          key.asc())
+    cum_before = (F.sum(F.col(tokens_col)).over(w)
+                  - F.col(tokens_col)).cast("long")
+    return (
+        out.withColumn("cum_before", cum_before)
+        .filter(F.col("cum_before") < budget)
+    )

@@ -212,3 +212,89 @@ def shard_assign(df: DataFrame, key: Column, n_shards: int,
         out = out.withColumn("pos_in_shard",
                              F.row_number().over(w).cast("long"))
     return out
+
+
+# A per-source boilerplate set larger than this aborts loudly (same
+# loud-failure contract as functions/cells.py MAX_COVER_CELLS): the
+# map-side array_contains rewrite is O(lines x boiler) per document,
+# which is only the right trade while the set stays nav/footer-sized.
+MAX_BOILER_LINES_PER_SOURCE = 100_000
+
+
+def line_doc_freq(docs: DataFrame, text_col: str = "text",
+                  source_col: str = "source",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-source document frequency of every non-blank trimmed line:
+    ``(source, line, n_docs)``. The CCNet-style signal behind
+    boilerplate detection — nav bars, cookie banners, and footers are
+    exactly the lines that repeat across most documents of a domain.
+
+    Scale shape: one map-side explode, then ONE hash aggregation on
+    (source, line) with a distinct count — map-side combinable, no
+    corpus re-shuffle."""
+    lines = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_fid"),
+        F.explode(F.split(F.col(text_col), "\n", -1)).alias("raw"),
+    ).select("source", "_fid", F.trim(F.col("raw")).alias("line"))
+    return (
+        lines.filter(F.col("line") != "")
+        .groupBy("source", "line")
+        .agg(F.count_distinct("_fid").cast("long").alias("n_docs"))
+    )
+
+
+def strip_boilerplate(docs: DataFrame, min_docs: int = 5,
+                      text_col: str = "text",
+                      source_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Remove per-source boilerplate lines (CCNet-style): a trimmed
+    non-blank line appearing in >= ``min_docs`` distinct documents of
+    the same source is dropped from every document of that source;
+    remaining lines keep their order. Output:
+    ``(doc_id, n_lines, n_boiler_lines, clean_text)`` — all-boilerplate
+    documents survive with ``clean_text = ''`` (so downstream
+    quality_filter drops them EXPLICITLY as too_short, never silently).
+
+    Scale shape — the corpus is NEVER re-shuffled: the line-frequency
+    agg (line_doc_freq) reduces to per-source boilerplate SETS
+    (nav/footer-sized, capped loudly at MAX_BOILER_LINES_PER_SOURCE),
+    which broadcast-join back onto the document scan; the strip itself
+    is a pure map-side array filter. The alternative explode→regroup
+    plan would shuffle every text byte by doc_id — at 100 TB that is
+    the whole corpus through the wire, vs kilobytes of boilerplate
+    sets here."""
+    boiler = (
+        line_doc_freq(docs, text_col, source_col, id_col)
+        .filter(F.col("n_docs") >= min_docs)
+        .groupBy("source")
+        .agg(F.collect_set("line").alias("_boiler"))
+        .select(
+            F.col("source").alias("_bsrc"),
+            F.when(
+                F.size("_boiler") > MAX_BOILER_LINES_PER_SOURCE,
+                F.raise_error(F.concat(
+                    F.lit("strip_boilerplate: source "), F.col("source"),
+                    F.lit(f" has > {MAX_BOILER_LINES_PER_SOURCE} "
+                          "boilerplate lines; raise min_docs or "
+                          "pre-partition the source"))),
+            ).otherwise(F.col("_boiler")).alias("_boiler"),
+        )
+    )
+    arr = F.split(F.col(text_col), "\n", -1)
+    kept = F.filter(
+        arr,
+        lambda x: ~F.coalesce(
+            F.array_contains(F.col("_boiler"), F.trim(x)), F.lit(False)
+        ),
+    )
+    return (
+        docs.join(F.broadcast(boiler),
+                  F.col(source_col) == F.col("_bsrc"), "left")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size(arr).cast("long").alias("n_lines"),
+            (F.size(arr) - F.size(kept)).cast("long").alias("n_boiler_lines"),
+            F.array_join(kept, "\n").alias("clean_text"),
+        )
+    )

@@ -1947,6 +1947,105 @@ def doc_shard_assign(spark, sf_dir):
 
 
 @register(
+    "doc_boilerplate_strip",
+    """
+    WITH enr AS (
+      SELECT doc_id, source,
+             concat('NAV ', source, ' HOME', chr(10), text, chr(10),
+                    '(c) ', source, ' footer') AS text
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, source,
+             unnest(string_split(text, chr(10))) AS raw,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM enr
+    ),
+    f AS (
+      SELECT source, trim(raw) AS line, COUNT(DISTINCT doc_id) AS n_docs
+      FROM l WHERE trim(raw) <> '' GROUP BY 1, 2
+    ),
+    b AS (SELECT source, line FROM f WHERE n_docs >= 5),
+    fl AS (
+      SELECT l.doc_id, l.pos, l.raw, (b.line IS NOT NULL) AS boiler
+      FROM l LEFT JOIN b ON l.source = b.source AND trim(l.raw) = b.line
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler_lines,
+           sha256(COALESCE(
+             string_agg(CASE WHEN NOT boiler THEN raw END,
+                        chr(10) ORDER BY pos), '')) AS clean_sha
+    FROM fl GROUP BY doc_id
+    """,
+)
+def doc_boilerplate_strip(spark, sf_dir):
+    """CCNet-style per-source boilerplate line removal
+    (operators/webpipe.py strip_boilerplate): lines repeating across
+    >= 5 documents of a source are stripped from every document. The
+    fixture docs are single-line, so both engines first enrich each
+    doc with a deterministic per-source nav header + footer — exactly
+    the lines the operator must detect and remove. Hash-checkable
+    output: per-doc line counts + sha256 of the cleaned text."""
+    from mergeaddressesandbuildings_spark.operators import webpipe
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(F.lit("NAV "), F.col("source"), F.lit(" HOME\n"),
+                 F.col("text"),
+                 F.lit("\n(c) "), F.col("source"), F.lit(" footer")),
+    )
+    out = webpipe.strip_boilerplate(docs, min_docs=5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_lines", "n_boiler_lines",
+        F.sha2(F.col("clean_text").cast("binary"), 256).alias("clean_sha"),
+    )
+
+
+@register(
+    "doc_token_budget_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             CAST('0x' || substr(sha256('budget|' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS sort_hash
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_chars, sort_hash,
+             CAST(SUM(n_chars) OVER (PARTITION BY source
+                                     ORDER BY sort_hash, doc_id)
+                  - n_chars AS BIGINT) AS cum_before
+      FROM h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars, sort_hash, cum_before
+    FROM c WHERE cum_before < 4000
+    """,
+)
+def doc_token_budget_sample(spark, sf_dir):
+    """Absolute-size corpus curation (operators/sampling.py
+    token_budget_sample): per source, documents are drawn in stable
+    hash order until a 4000-token budget is exhausted (n_chars stands
+    in for the token count in this fixture) — the "N tokens per
+    source" mixture recipe, reproducible across engines and cluster
+    sizes. The windowed cumsum is CAST to BIGINT on the oracle side
+    (DuckDB widens windowed SUM to HUGEINT)."""
+    from mergeaddressesandbuildings_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.token_budget_sample(
+        docs, budget=4000, tokens_col="n_chars",
+        strat=F.col("source"), key=F.col("doc_id"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "sort_hash", "cum_before")
+
+
+@register(
     "url_stream_latest",
     """
     WITH u AS (
@@ -2036,6 +2135,11 @@ _DRIVER_WINDOW_TAIL = [
     # doc_quality_filter (never driver-run). Every entry below is
     # driver-green in BOTH r1 and r2 (CORRECTNESS_r01/r02), so parking
     # them costs no evidence:
+    # Displaced for the round-3 boilerplate + token-budget queries
+    # (never driver-run); both r1+r2 green:
+    "distinct_users_per_type",    # distinct agg: doc_exact_dedup in window
+    "nation_supplier_stats",      # agg+join: pricing_summary +
+                                  # broadcast_nation_join in window
     "union_segments",             # union: r1+r2 green
     "doc_quality_counts",         # scalar text signals: r1+r2 green
     "error_click_pairs",          # self-join: r1+r2 green

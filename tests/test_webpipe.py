@@ -169,3 +169,39 @@ def test_pii_counts_are_sequential_and_sha_attested(spark):
         F.sha2(webpipe.redact_pii(F.col("text")).cast("binary"), 256)
     ).collect()[0][0]
     assert out["redacted_sha"] == sha
+
+
+def test_strip_boilerplate_semantics(spark):
+    """Lines repeated across >= min_docs docs of a source are removed;
+    unique body lines keep their order; blank lines survive; an
+    all-boilerplate doc yields clean_text='' (not a dropped row);
+    other sources are untouched."""
+    mk = lambda *ls: "\n".join(ls)  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, "a", mk("MENU", "body one", "", "FOOT")),
+         (2, "a", mk("MENU", "body two", "FOOT")),
+         (3, "a", mk("MENU", "FOOT")),            # all boilerplate
+         (4, "b", mk("MENU", "other body"))],     # df=1 in source b
+        "doc_id long, source string, text string")
+    out = {r["doc_id"]: r
+           for r in webpipe.strip_boilerplate(df, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "body one\n"   # blank line kept
+    assert (out[1]["n_lines"], out[1]["n_boiler_lines"]) == (4, 2)
+    assert out[2]["clean_text"] == "body two"
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_lines"], out[3]["n_boiler_lines"]) == (2, 2)
+    # MENU appears once in source b → not boilerplate there
+    assert out[4]["clean_text"] == "MENU\nother body"
+    assert len(out) == 4
+
+
+def test_line_doc_freq_counts_docs_not_occurrences(spark):
+    """A line repeated WITHIN one doc counts once — frequency is
+    document frequency, not occurrence count."""
+    df = spark.createDataFrame(
+        [(1, "a", "X\nX\nX"), (2, "a", "X\ny")],
+        "doc_id long, source string, text string")
+    got = {(r["source"], r["line"]): r["n_docs"]
+           for r in webpipe.line_doc_freq(df).collect()}
+    assert got[("a", "X")] == 2
+    assert got[("a", "y")] == 1
