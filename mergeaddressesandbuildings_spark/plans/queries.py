@@ -2046,6 +2046,59 @@ def doc_token_budget_sample(spark, sf_dir):
 
 
 @register(
+    "doc_lm_perplexity",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, ws[i - 1] AS w1, ws[i] AS w2
+      FROM (SELECT doc_id, ws, unnest(range(2, len(ws) + 1)) AS i FROM w)
+    ),
+    ref AS (SELECT * FROM g WHERE doc_id % 2 = 0),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM ref GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM ref GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM ref),
+    s AS (
+      SELECT g.doc_id,
+             ln((CAST(COALESCE(c12.c12, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(COALESCE(c1.c1, 0) AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE) * CAST(v.v AS DOUBLE))) AS lp
+      FROM g
+      LEFT JOIN c12 ON g.w1 = c12.w1 AND g.w2 = c12.w2
+      LEFT JOIN c1 ON g.w1 = c1.w1
+      CROSS JOIN v
+      WHERE g.doc_id % 2 = 1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-AVG(lp), 6) AS cross_entropy,
+           ROUND(exp(-AVG(lp)), 6) AS ppl
+    FROM s GROUP BY doc_id
+    """,
+)
+def doc_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality signal (operators/lm.py): an add-0.5
+    bigram LM is trained on the even-doc_id half of the corpus and the
+    odd half is scored by bigram cross-entropy / perplexity — unseen
+    bigrams and contexts exercise the smoothing fallbacks. Outputs
+    rounded to 6 decimals on BOTH sides: windowed double reductions
+    are order-dependent at the last ulp across engines (BENCH lesson:
+    only rounded doubles are oracle-hashable)."""
+    from mergeaddressesandbuildings_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    c12, c1, v = lm.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    out = lm.perplexity(docs.filter(F.col("doc_id") % 2 == 1),
+                        c12, c1, v, k=0.5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_bigrams",
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+        F.round("ppl", 6).alias("ppl"))
+
+
+@register(
     "url_stream_latest",
     """
     WITH u AS (
@@ -2138,6 +2191,8 @@ _DRIVER_WINDOW_TAIL = [
     # Displaced for the round-3 boilerplate + token-budget queries
     # (never driver-run); both r1+r2 green:
     "distinct_users_per_type",    # distinct agg: doc_exact_dedup in window
+    "top_revenue_orders",         # global top-k: top_order_per_customer +
+                                  # error_click_top3 cover rank/top-k
     "nation_supplier_stats",      # agg+join: pricing_summary +
                                   # broadcast_nation_join in window
     "union_segments",             # union: r1+r2 green
