@@ -2099,6 +2099,58 @@ def doc_lm_perplexity(spark, sf_dir):
 
 
 @register(
+    "warc_ingest_index",
+    """
+    SELECT 'http://' || source || '.example.com/doc/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           strftime(TIMESTAMP '2025-01-01 00:00:00'
+                    + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%S') AS ts_iso,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def warc_ingest_index(spark, sf_dir):
+    """WARC container ingestion end-to-end (sources/warc.py): the
+    documents table is encoded into 4 per-record-gzip WARC archives
+    (driver-side fixture construction, same contract as
+    doc_stream_dedupe's stream input build — NOT part of the measured
+    read path), then read back via the binaryFile + mapInPandas
+    parser. Output: per-capture url, ISO timestamp, payload byte
+    length, sha256 of the payload — all derived by the oracle from
+    the table directly, so the archive encode → decompress → parse →
+    extract chain must be byte-exact to hash-match."""
+    import datetime
+    import os
+    import tempfile
+
+    from mergeaddressesandbuildings_spark.sources import warc
+
+    rows = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text")
+            .orderBy("doc_id").collect())
+    base = datetime.datetime(2025, 1, 1)
+    out_dir = tempfile.mkdtemp(prefix="warc_ingest_")
+    shards: dict[int, list] = {i: [] for i in range(4)}
+    for r in rows:
+        shards[r["doc_id"] % 4].append({
+            "url": f"http://{r['source']}.example.com/doc/{r['doc_id']}",
+            "ts": base + datetime.timedelta(seconds=r["doc_id"]),
+            "html": r["text"].encode("utf-8"),
+        })
+    for i, recs in shards.items():
+        warc.write_warc(os.path.join(out_dir, f"part{i}.warc.gz"),
+                        recs, gzip_members=True)
+    parsed = warc.read_warc(spark, os.path.join(out_dir, "*.warc.gz"))
+    return parsed.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
+        F.col("content_length").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    )
+
+
+@register(
     "url_stream_latest",
     """
     WITH u AS (
@@ -2193,6 +2245,8 @@ _DRIVER_WINDOW_TAIL = [
     "distinct_users_per_type",    # distinct agg: doc_exact_dedup in window
     "top_revenue_orders",         # global top-k: top_order_per_customer +
                                   # error_click_top3 cover rank/top-k
+    "top_order_per_customer",     # rank window: domain_cap_sample
+                                  # (row_number top-k) in window
     "nation_supplier_stats",      # agg+join: pricing_summary +
                                   # broadcast_nation_join in window
     "union_segments",             # union: r1+r2 green
