@@ -49,6 +49,10 @@ HEADLINE = [
     # round-3 webpipe family additions
     "url_canonical_dedup",
     "doc_contamination",
+    "doc_boilerplate_strip",
+    "doc_lm_perplexity",
+    "doc_paragraph_dedup",
+    "warc_ingest_index",
 ]
 
 # round-1 headline set (BENCH_r01.json) for the like-for-like subtotal

@@ -387,3 +387,60 @@ def dup_clusters(pairs: DataFrame,
             "max_iters rather than consuming a partial clustering"
         )
     return labels
+
+
+def dedupe_paragraphs(docs: DataFrame, sep: str = "\n",
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Sub-document exact dedup (the MassiveText/Gopher paragraph
+    pass): across the WHOLE corpus, every repeated paragraph keeps
+    only its first occurrence — (min doc_id, then min position) wins —
+    and later occurrences are stripped from their documents. Unlike
+    strip_boilerplate (which removes a frequent line from EVERY
+    document of a source), this keeps exactly one copy globally, so
+    syndicated articles and quoted passages survive once.
+
+    Output: ``(doc_id, n_paragraphs, n_dropped, clean_text)`` —
+    paragraphs are ``sep``-separated (default line-level; pass
+    ``"\\n\\n"`` for blank-line paragraphs), blank paragraphs are
+    never deduped. Every input document appears in the output (a doc
+    reduced to nothing gets ``clean_text = ''``).
+
+    Scale shape: two honest shuffles, both keyed and combinable —
+    (1) winner-per-paragraph is a window over sha256(paragraph), a
+    uniformly distributed key (no hot keys by construction); (2) the
+    rebuild regroups surviving paragraphs by doc_id. The rebuild
+    moves the surviving corpus bytes once — unavoidable for a global
+    keep-one semantics, and exactly the shuffle the all-pairs-free
+    design of minhash_lsh_dedupe avoids when only PAIRS are needed."""
+    from pyspark.sql import Window
+
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "para"),
+    )
+    key = F.sha2(F.col("para").cast("binary"), 256)
+    w = Window.partitionBy(key).orderBy(F.col("doc_id").asc(),
+                                        F.col("pos").asc())
+    flagged = paras.withColumn(
+        "_drop",
+        (F.trim(F.col("para")) != "") & (F.row_number().over(w) > 1),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paragraphs"),
+            F.sum(F.col("_drop").cast("long")).cast("long")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(~F.col("_drop"),
+                               F.struct(F.col("pos"), F.col("para")))
+                    )),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )

@@ -57,12 +57,19 @@ def train_bigram_lm(docs: DataFrame, text_col: str = "text",
     returns ``(bigram_counts(w1, w2, c12), context_counts(w1, c1),
     vocab_size)`` where ``c1 = Σ_w2 c12`` (the denominator convention
     that makes the smoothed distribution sum to 1) and ``vocab_size``
-    is the number of distinct continuation words. The only action is
-    the 1-scalar vocabulary count; both count tables stay lazy."""
+    is the number of distinct continuation words.
+
+    One pass over the reference corpus: the bigram explode feeds a
+    single (w1, w2) hash agg, and BOTH the context counts and the
+    vocabulary derive from that (already tiny) table rather than
+    re-exploding the corpus. ``c12`` is persisted — it IS the model,
+    O(distinct bigrams), reused by the vocab action here and by every
+    scoring join; call ``c12.unpersist()`` when done with the model."""
     g = _word_bigrams(docs, text_col, id_col)
-    c12 = g.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
-    c1 = g.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
-    vocab_size = g.select("w2").distinct().count()
+    c12 = (g.groupBy("w1", "w2")
+           .agg(F.count("*").cast("long").alias("c12")).persist())
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vocab_size = c12.select("w2").distinct().count()
     return c12, c1, vocab_size
 
 

@@ -2151,6 +2151,55 @@ def warc_ingest_index(spark, sf_dir):
 
 
 @register(
+    "doc_paragraph_dedup",
+    """
+    WITH enr AS (
+      SELECT doc_id, concat('PROMO ', source, chr(10), text) AS text
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS para,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM enr
+    ),
+    f AS (
+      SELECT doc_id, pos, para,
+             (trim(para) <> ''
+              AND ROW_NUMBER() OVER (PARTITION BY para
+                                     ORDER BY doc_id, pos) > 1) AS dropped
+      FROM p
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           sha256(COALESCE(
+             string_agg(CASE WHEN NOT dropped THEN para END,
+                        chr(10) ORDER BY pos), '')) AS clean_sha
+    FROM f GROUP BY doc_id
+    """,
+)
+def doc_paragraph_dedup(spark, sf_dir):
+    """Global keep-first paragraph dedup (operators/doc_dedupe.py
+    dedupe_paragraphs — the MassiveText-style sub-document pass). The
+    fixture docs are single-line, so both engines enrich each doc with
+    a per-source PROMO paragraph: the lowest doc_id of each source
+    keeps it, every other doc drops it (plus any cross-doc duplicate
+    body lines). sha256-attested cleaned text."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(F.lit("PROMO "), F.col("source"), F.lit("\n"),
+                 F.col("text")),
+    )
+    out = doc_dedupe.dedupe_paragraphs(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_paragraphs", "n_dropped",
+        F.sha2(F.col("clean_text").cast("binary"), 256).alias("clean_sha"),
+    )
+
+
+@register(
     "url_stream_latest",
     """
     WITH u AS (
@@ -2247,6 +2296,8 @@ _DRIVER_WINDOW_TAIL = [
                                   # error_click_top3 cover rank/top-k
     "top_order_per_customer",     # rank window: domain_cap_sample
                                   # (row_number top-k) in window
+    "latest_event_per_user",      # latest-capture: url_stream_latest
+                                  # (streaming twin) in window
     "nation_supplier_stats",      # agg+join: pricing_summary +
                                   # broadcast_nation_join in window
     "union_segments",             # union: r1+r2 green
