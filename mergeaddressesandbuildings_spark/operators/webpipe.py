@@ -298,3 +298,69 @@ def strip_boilerplate(docs: DataFrame, min_docs: int = 5,
             F.array_join(kept, "\n").alias("clean_text"),
         )
     )
+
+
+def robots_star_disallows(robots: DataFrame,
+                          text_col: str = "robots_txt",
+                          domain_col: str = "domain") -> DataFrame:
+    """Parse robots.txt bodies into ``(domain, disallow)`` where
+    ``disallow`` is the array of path prefixes the ``User-agent: *``
+    group(s) forbid — the crawl-politeness screen of a web pipeline.
+
+    The parser is a single pure ``F.aggregate`` fold over the file's
+    lines (state: in-star-group flag, UA-run flag for consecutive
+    ``User-agent`` lines, prefix accumulator) — robots files are KB-
+    sized so a per-row fold is exactly as parallel as the scan, with
+    zero Python. Semantics (the minimal common subset): ``#`` starts a
+    comment; consecutive ``User-agent`` lines form one group; a group
+    applies iff any of its agents is ``*``; empty ``Disallow:`` means
+    allow-all; ``Allow`` lines and non-star groups are ignored."""
+    lines = F.split(F.col(text_col), "\r?\n", -1)
+    init = F.struct(
+        F.lit(False).alias("star"),
+        F.lit(False).alias("ua_run"),
+        F.array().cast("array<string>").alias("pfx"),
+    )
+
+    def step(acc, l):  # noqa: E741
+        c = F.trim(F.substring_index(l, "#", 1))
+        key = F.lower(F.trim(F.substring_index(c, ":", 1)))
+        val = F.trim(F.regexp_replace(c, "^[^:]*:", ""))
+        is_ua = key == "user-agent"
+        is_dis = (key == "disallow") & c.contains(":")
+        return F.struct(
+            F.when(
+                is_ua,
+                F.when(acc["ua_run"], acc["star"] | (val == "*"))
+                .otherwise(val == "*"),
+            ).otherwise(acc["star"]).alias("star"),
+            is_ua.alias("ua_run"),
+            F.when(is_dis & acc["star"] & (val != ""),
+                   F.concat(acc["pfx"], F.array(val)))
+            .otherwise(acc["pfx"]).alias("pfx"),
+        )
+
+    return robots.select(
+        F.col(domain_col).alias("domain"),
+        F.aggregate(lines, init, step)["pfx"].alias("disallow"),
+    )
+
+
+def apply_robots(docs: DataFrame, rules: DataFrame,
+                 url_col: str = "url",
+                 domain_col: str = "domain") -> DataFrame:
+    """Drop documents whose URL path starts with any of their domain's
+    ``*``-group disallow prefixes (``rules`` from
+    :func:`robots_star_disallows`). Domains with no rules row pass
+    through. The rules table is one small row per domain — broadcast —
+    and the screen itself is a map-side array scan per URL."""
+    path = F.regexp_extract(F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    r = rules.select(F.col("domain").alias("_rdom"),
+                     F.col("disallow").alias("_dis"))
+    blocked = F.exists(F.col("_dis"), lambda p: path.startswith(p))
+    return (
+        docs.join(F.broadcast(r), F.col(domain_col) == F.col("_rdom"),
+                  "left")
+        .filter(~F.coalesce(blocked, F.lit(False)))
+        .drop("_rdom", "_dis")
+    )

@@ -2200,6 +2200,52 @@ def doc_paragraph_dedup(spark, sf_dir):
 
 
 @register(
+    "robots_filtered_docs",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'http://' || source || '.example.com/page/'
+             || CAST(doc_id % 10 AS VARCHAR) AS url
+    FROM documents
+    WHERE NOT (CAST(substr(source, 4) AS INT) % 2 = 0
+               AND doc_id % 10 IN (0, 4))
+    """,
+)
+def robots_filtered_docs(spark, sf_dir):
+    """robots.txt crawl-politeness screen (operators/webpipe.py
+    robots_star_disallows + apply_robots): per-source robots bodies
+    are synthesized deterministically — even-indexed sources forbid
+    /page/0 and /page/4 for ``User-agent: *`` (plus a decoy bot-only
+    group that must be ignored), odd-indexed sources have an empty
+    star Disallow — and the oracle derives the expected surviving set
+    from the synthesis rule directly, so the parse (grouping,
+    comments, empty-Disallow) and the prefix screen must both be
+    right to hash-match."""
+    from mergeaddressesandbuildings_spark.operators import webpipe
+
+    docs = _t(spark, sf_dir, "documents")
+    even = (F.substring("source", 4, 10).cast("int") % 2 == 0)
+    body = F.when(even, F.lit(
+        "User-agent: gptbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /page/0\nDisallow: /page/4\n"
+    )).otherwise(F.lit(
+        "User-agent: gptbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow:\n"
+    ))
+    rules = webpipe.robots_star_disallows(
+        docs.select("source").distinct()
+        .select(F.col("source").alias("domain"),
+                body.alias("robots_txt")))
+    pages = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").alias("domain"),
+        F.concat(F.lit("http://"), F.col("source"),
+                 F.lit(".example.com/page/"),
+                 (F.col("doc_id") % 10).cast("string")).alias("url"),
+    )
+    return webpipe.apply_robots(pages, rules).select("doc_id", "url")
+
+
+@register(
     "url_stream_latest",
     """
     WITH u AS (
@@ -2298,6 +2344,8 @@ _DRIVER_WINDOW_TAIL = [
                                   # (row_number top-k) in window
     "latest_event_per_user",      # latest-capture: url_stream_latest
                                   # (streaming twin) in window
+    "events_stream_tumbling",     # real streaming runs remain in window
+                                  # via doc_stream_dedupe + url_stream_latest
     "nation_supplier_stats",      # agg+join: pricing_summary +
                                   # broadcast_nation_join in window
     "union_segments",             # union: r1+r2 green
