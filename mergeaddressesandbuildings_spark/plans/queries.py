@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mergeaddressesandbuildings_spark.operators import (
     doc_dedupe,
+    graph,
     similarity,
     textstats,
 )
@@ -2318,6 +2319,124 @@ def url_stream_latest(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# link-graph + temporal joins (webpipe family, round 3)
+# ---------------------------------------------------------------------
+
+_PAGERANK_ITER = """
+    r{n} AS (
+      SELECT n.node,
+             CAST(150000 + (850000 * COALESCE(s.c, 0)) // 1000000
+                  AS BIGINT) AS rank_ppm
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(r.rank_ppm // od.outdeg) AS BIGINT) AS c
+        FROM e JOIN r{p} r ON e.src = r.node
+               JOIN od ON od.src = e.src
+        GROUP BY e.dst
+      ) s USING (node)
+    )"""
+
+
+@register(
+    "doc_link_pagerank",
+    """
+    WITH d AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 500),
+    e AS (
+      SELECT DISTINCT doc_id AS src, (doc_id * k + n_chars) % 500 AS dst
+      FROM d, (SELECT unnest([1, 2, 3]) AS k)
+      WHERE (doc_id * k + n_chars) % 500 <> doc_id
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM nodes),
+    """
+    + ",".join(_PAGERANK_ITER.format(n=i, p=i - 1) for i in range(1, 5))
+    + """
+    SELECT CAST(node AS BIGINT) AS node, rank_ppm FROM r4
+    """,
+)
+def doc_link_pagerank(spark, sf_dir):
+    """Fixed-point link-graph PageRank (operators/graph.py) vs a
+    DuckDB oracle that unrolls the same 4 integer power iterations —
+    the crawl-frontier / quality-weighting ranker of a web pipeline.
+    The link graph is synthesized deterministically from (doc_id,
+    n_chars) so both engines derive identical edges; the operator's
+    ppm BIGINT arithmetic makes every round associative and therefore
+    hash-checkable (doubles would drift per round)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    edges = (
+        docs.select("doc_id", "n_chars")
+        .withColumn("k", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * F.col("k") + F.col("n_chars")) % 500)
+            .alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return (
+        graph.pagerank(edges, iters=4)
+        .select(F.col("node").cast("long").alias("node"), "rank_ppm")
+    )
+
+
+@register(
+    "events_asof_state",
+    """
+    WITH st AS (
+      SELECT user_id, ts, CAST(MAX(event_id) AS BIGINT) AS event_id
+      FROM events WHERE user_id < 100 GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT user_id,
+             TIMESTAMP '2024-01-08 00:00:00'
+               + to_days(CAST(k * 8 AS INT))
+               + to_hours(CAST(user_id % 24 AS INT)) AS pts
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 100),
+           (SELECT unnest([0, 1, 2]) AS k)
+    )
+    SELECT CAST(p.user_id AS BIGINT) AS user_id, p.pts,
+           s.event_id AS last_event_id, s.ts AS matched_ts
+    FROM probes p ASOF LEFT JOIN st s
+      ON p.user_id = s.user_id AND p.pts >= s.ts
+    """,
+)
+def events_asof_state(spark, sf_dir):
+    """Distributed backward as-of join (operators/temporal.py,
+    union+window form — one key shuffle, no range join) vs DuckDB's
+    native ASOF LEFT JOIN: reconstruct each user's latest event
+    at-or-before three deterministic probe instants. States are
+    pre-deduped to unique (user_id, ts) because intra-timestamp order
+    is unspecified in BOTH engines (same contract as ASOF JOIN)."""
+    from mergeaddressesandbuildings_spark.operators import temporal
+
+    states = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    probes = (
+        states.select("user_id").distinct()
+        .withColumn("k", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+        .select(
+            "user_id",
+            F.expr(
+                "timestamp'2024-01-08 00:00:00' + make_interval(0, 0, 0, "
+                "CAST(k * 8 AS INT), CAST(user_id % 24 AS INT), 0, 0)"
+            ).alias("pts"),
+        )
+    )
+    res = temporal.asof_join(probes, states, on="user_id",
+                             probe_ts="pts", state_ts="ts",
+                             value_cols=["event_id"])
+    return res.select(
+        F.col("user_id").cast("long").alias("user_id"), "pts",
+        F.col("event_id").alias("last_event_id"), "matched_ts",
+    )
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -2337,7 +2456,14 @@ _DRIVER_WINDOW_TAIL = [
     # them costs no evidence:
     # Displaced for the round-3 boilerplate + token-budget queries
     # (never driver-run); both r1+r2 green:
-    "distinct_users_per_type",    # distinct agg: doc_exact_dedup in window
+    # Displaced round-3 for doc_link_pagerank + events_asof_state
+    # (never driver-run); both r1+r2 green:
+    "pricing_summary",            # flagship agg: priority/segment agg
+                                  # family all green r1+r2 alongside
+    "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
+                                  # doc_paragraph_dedup in window
+    "distinct_users_per_type",    # distinct agg: doc_exact_dedup green
+                                  # r1+r2 (parked alongside)
     "top_revenue_orders",         # global top-k: top_order_per_customer +
                                   # error_click_top3 cover rank/top-k
     "top_order_per_customer",     # rank window: domain_cap_sample
