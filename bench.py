@@ -53,6 +53,8 @@ HEADLINE = [
     "doc_lm_perplexity",
     "doc_paragraph_dedup",
     "warc_ingest_index",
+    "doc_link_pagerank",
+    "doc_bm25_topk",
 ]
 
 # round-1 headline set (BENCH_r01.json) for the like-for-like subtotal

@@ -2437,6 +2437,165 @@ def events_asof_state(spark, sf_dir):
     )
 
 
+@register(
+    "doc_bm25_topk",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    post AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d)
+      GROUP BY doc_id, dl, term
+    ),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(toks)) AS BIGINT) AS sum_dl FROM d),
+    q(query_id, qtext) AS (VALUES
+      (1, 'fast hash join'), (2, 'stream window merge'),
+      (3, 'customer table zebra')),
+    qt AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT query_id,
+               unnest(string_split(lower(qtext), ' ')) AS term FROM q)
+      WHERE term <> ''
+    ),
+    mt AS (SELECT p.* FROM post p
+           JOIN (SELECT DISTINCT term FROM qt) ts USING (term)),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM mt GROUP BY term),
+    scored AS (
+      SELECT qt.query_id, mt.doc_id,
+             SUM(
+               ln(1 + (s.n_docs - dfq.df + CAST(0.5 AS DOUBLE))
+                      / (dfq.df + CAST(0.5 AS DOUBLE)))
+               * mt.tf * (CAST(1.2 AS DOUBLE) + 1)
+               / (mt.tf + CAST(1.2 AS DOUBLE)
+                  * ((1 - CAST(0.75 AS DOUBLE))
+                     + CAST(0.75 AS DOUBLE) * mt.dl
+                       / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+             ) AS score
+      FROM mt JOIN qt USING (term) JOIN dfq USING (term)
+      CROSS JOIN stats s
+      GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rnk AS INT) AS rank,
+           CAST(ROUND(score * 1000) AS BIGINT) AS score_milli
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY CAST(ROUND(score * 1000) AS BIGINT) DESC, doc_id
+          ) AS rnk FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def doc_bm25_topk(spark, sf_dir):
+    """Inverted-index BM25 top-5 (operators/search.py) vs the same
+    formula in DuckDB SQL — corpus keyword retrieval for contamination
+    audits and quality probes. Scores are quantized to milli-units
+    BEFORE ranking with doc_id tie-break, so rank order is immune to
+    the sub-milli double noise (ln ulps, agg order) that separates the
+    engines; query 3 carries a term absent from the corpus ('zebra')
+    to exercise the no-match path."""
+    from mergeaddressesandbuildings_spark.operators import search
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "fast hash join"), (2, "stream window merge"),
+         (3, "customer table zebra")],
+        "query_id long, qtext string",
+    )
+    return (
+        search.bm25_topk(docs, queries, k=5)
+        .select(F.col("query_id").cast("long").alias("query_id"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "rank", "score_milli")
+    )
+
+
+@register(
+    "events_stream_join",
+    """
+    SELECT CAST(e.user_id AS BIGINT) AS user_id,
+           e.event_id AS error_id,
+           c.event_id AS click_id,
+           CAST(date_diff('second', e.ts, c.ts) AS BIGINT) AS delta_s
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts
+     AND c.ts <= e.ts + INTERVAL 180 MINUTE
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+      AND e.user_id < 150
+    """,
+)
+def events_stream_join(spark, sf_dir):
+    """ST8 stream-stream interval join via a REAL streaming run
+    (streaming/stream_join.py): error and click events of the same
+    users arrive as two time-ordered microbatches (days 1-15, then the
+    rest); errors must pair with clicks within 3 hours INCLUDING
+    pairs whose halves arrive in different microbatches (both-sided
+    state). availableNow replay of the capture log must converge to
+    exactly the batch join — the DuckDB oracle. delta_s compares
+    epoch-second floors (long casts), identical to date_diff('second')
+    boundary counting (epoch() would keep fractional seconds and
+    round on cast — off by one half the time)."""
+    import os
+    import tempfile
+
+    from mergeaddressesandbuildings_spark.streaming import stream_join
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 150)
+          .select("event_id", "ts", "user_id", "event_type"))
+    b1 = ev.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    b2 = ev.filter(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+    src_dir = tempfile.mkdtemp(prefix="stream_join_")
+    b1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "b1"))
+    b2.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "b2"))
+    flat = tempfile.mkdtemp(prefix="stream_join_flat_")
+    for sub in ("b1", "b2"):  # one data file per microbatch, ordered
+        d = os.path.join(src_dir, sub)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(d, f),
+                           os.path.join(flat, f"{sub}.parquet"))
+
+    src = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string")
+        .option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    errors = src.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_uid"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    clicks = src.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = stream_join.interval_join(
+        errors, clicks, left_key="e_uid", right_key="c_uid",
+        left_ts="e_ts", right_ts="c_ts", max_delta_s=10800,
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"events_stream_join_{_STREAM_SEQ[0]}"
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("e_uid").cast("long").alias("user_id"),
+        "error_id", "click_id",
+        (F.col("c_ts").cast("long") - F.col("e_ts").cast("long"))
+        .alias("delta_s"),
+    )
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -2446,7 +2605,7 @@ _DRIVER_WINDOW_TAIL = [
     "error_click_top3",           # rank window: top_order_per_customer in
     "doc_word_stats",             # scalar fns: doc_token_counts in window
     "doc_length_histogram",       # bucketed agg: corpus_vocab in window
-    "doc_top_terms",              # explode+agg+topk: corpus_vocab in window
+    "doc_top_terms",              # explode+agg+topk: bm25 index in window
     "events_tumbling_hour",       # batch tumbling: streaming variant in
     "embedding_near_dup",         # exact pair kernel exercised inside
                                   # embedding_dup_clusters' oracle
@@ -2456,8 +2615,13 @@ _DRIVER_WINDOW_TAIL = [
     # them costs no evidence:
     # Displaced for the round-3 boilerplate + token-budget queries
     # (never driver-run); both r1+r2 green:
-    # Displaced round-3 for doc_link_pagerank + events_asof_state
-    # (never driver-run); both r1+r2 green:
+    # Displaced round-3 for doc_link_pagerank + events_asof_state +
+    # doc_bm25_topk (never driver-run); all r1+r2 green:
+    "doc_ngram_pairs",            # exact pair kernel: doc_dup_clusters'
+                                  # oracle chain re-runs it in window
+    "corpus_vocab",               # explode+agg: doc_bm25_topk's index
+                                  # build is the same shape, in window
+                                  # (displaced for events_stream_join)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +

@@ -65,6 +65,7 @@ _BRUTE_FORCE_OK = {
 # queries that execute eagerly at build time (real streaming runs /
 # iterative fixpoints) — no single final plan to inspect statically
 _EAGER = {"events_stream_tumbling", "doc_stream_dedupe",
+          "events_stream_join", "doc_link_pagerank",
           "doc_dup_clusters", "merge_assignments", "merge_output_sets",
           "merge_tiles", "merge_holes"}
 
