@@ -55,6 +55,7 @@ HEADLINE = [
     "warc_ingest_index",
     "doc_link_pagerank",
     "doc_bm25_topk",
+    "embedding_kmeans_clusters",
 ]
 
 # round-1 headline set (BENCH_r01.json) for the like-for-like subtotal

@@ -2596,6 +2596,86 @@ def events_stream_join(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_kmeans_clusters",
+    """
+    WITH q AS (
+      SELECT vec_id, i - 1 AS d,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576.0 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+    ),
+    seed_ids AS (
+      SELECT vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM (SELECT DISTINCT vec_id FROM q)
+      ORDER BY vec_id LIMIT 8
+    ),
+    c0 AS (SELECT s.cid, q.d, q.x AS c
+           FROM q JOIN seed_ids s USING (vec_id)),
+    a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY SUM((q.x - c.c) * (q.x - c.c)), c.cid) AS rn
+        FROM q JOIN c0 c USING (d)
+        GROUP BY q.vec_id, c.cid
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT c0.cid, c0.d, COALESCE(u.c, c0.c) AS c
+      FROM c0 LEFT JOIN (
+        SELECT a0.cid, q.d,
+               CAST(FLOOR(CAST(SUM(q.x) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS c
+        FROM q JOIN a0 USING (vec_id) GROUP BY a0.cid, q.d
+      ) u ON u.cid = c0.cid AND u.d = c0.d
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY SUM((q.x - c.c) * (q.x - c.c)), c.cid) AS rn
+        FROM q JOIN c1 c USING (d)
+        GROUP BY q.vec_id, c.cid
+      ) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT c1.cid, c1.d, COALESCE(u.c, c1.c) AS c
+      FROM c1 LEFT JOIN (
+        SELECT a1.cid, q.d,
+               CAST(FLOOR(CAST(SUM(q.x) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS c
+        FROM q JOIN a1 USING (vec_id) GROUP BY a1.cid, q.d
+      ) u ON u.cid = c1.cid AND u.d = c1.d
+    )
+    SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM (
+      SELECT q.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY SUM((q.x - c.c) * (q.x - c.c)), c.cid) AS rn
+      FROM q JOIN c2 c USING (d)
+      GROUP BY q.vec_id, c.cid
+    ) WHERE rn = 1
+    """,
+)
+def embedding_kmeans_clusters(spark, sf_dir):
+    """Distributed k-means topic clustering (operators/clustering.py):
+    k=8, 2 integer-exact Lloyd iterations from the 8 lowest-vec_id
+    seeds, final assignment under the iterated centroids. The oracle
+    unrolls the SAME integer algorithm in DuckDB SQL (assign = argmin
+    of exact int64 squared distances with lower-cid tie-break, update =
+    floor(int_sum/int_count + 0.5)), so the match is bit-exact — the
+    contract that makes iterative ML clustering driver-hashable at all
+    (float Lloyd would drift with agg order)."""
+    from mergeaddressesandbuildings_spark.operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.kmeans_assign(emb, k=8, iters=2)
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -2619,6 +2699,9 @@ _DRIVER_WINDOW_TAIL = [
     # doc_bm25_topk (never driver-run); all r1+r2 green:
     "doc_ngram_pairs",            # exact pair kernel: doc_dup_clusters'
                                   # oracle chain re-runs it in window
+    "haversine_to_hq",            # haversine fn: knn_topk_suppliers in
+                                  # window computes it per candidate
+                                  # (displaced for embedding_kmeans_clusters)
     "corpus_vocab",               # explode+agg: doc_bm25_topk's index
                                   # build is the same shape, in window
                                   # (displaced for events_stream_join)
