@@ -444,3 +444,74 @@ def dedupe_paragraphs(docs: DataFrame, sep: str = "\n",
             ).alias("clean_text"),
         )
     )
+
+
+def duplicated_ngram_coverage(docs: DataFrame, n: int = 5,
+                              min_count: int = 2,
+                              hashed: bool = False,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Exact duplicated-substring signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    how many of its whitespace tokens sit inside at least one word
+    n-gram that occurs >= ``min_count`` times across the whole corpus
+    (internal repetition included — a doc repeating itself counts).
+
+    Returns (doc_id, n_tokens, dup_tokens) — both BIGINT, so the
+    result is engine- and parallelism-exact (driver-hashable).
+
+    Scale shape (the 100 TB path):
+    - positional n-grams via sequence+transform+explode — all JVM, no
+      Python; short docs (< n tokens) emit zero grams (guarded: a
+      descending ``sequence`` never reaches ``slice``);
+    - the corpus-wide gram census is ONE map-side-combinable hash agg,
+      filtered to count >= min_count BEFORE the join back, so only
+      genuinely duplicated grams shuffle twice;
+    - ``hashed=True`` keys the census and join on xxhash64(gram)
+      (8-byte keys instead of strings — the at-scale mode; the string
+      mode is what DuckDB can reproduce bit-exactly for the oracle);
+    - per-doc span union is a gaps-and-islands lag window: intervals
+      all have length n and are sorted by start, so the union length
+      is sum(min(n, start_i - start_{i-1})) with the first island
+      contributing n — one window + one agg, no interval list ever
+      materialized.
+    """
+    from pyspark.sql import Window
+
+    ws = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.size(ws).alias("n_tokens"), ws.alias("ws"))
+    grams = F.when(
+        F.size("ws") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - n + 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice("ws", i, n), " ").alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<pos:int,gram:string>>"))
+    occ = base.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"),
+             F.col("g.gram").alias("gram"))
+    key = F.xxhash64("gram") if hashed else F.col("gram")
+    occ = occ.withColumn("gk", key).drop("gram")
+    dup_keys = (occ.groupBy("gk").agg(F.count("*").alias("cnt"))
+                .filter(F.col("cnt") >= min_count).select("gk"))
+    dup_pos = occ.join(dup_keys, "gk").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = F.when(
+        F.lag("pos").over(w).isNull(), F.lit(n)
+    ).otherwise(F.least(F.lit(n), F.col("pos") - F.lag("pos").over(w)))
+    per_doc = (dup_pos.withColumn("c", contrib)
+               .groupBy("doc_id")
+               .agg(F.sum("c").cast("long").alias("dup_tokens")))
+    return (
+        base.select("doc_id", F.col("n_tokens").cast("long"))
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", "n_tokens",
+                F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                .alias("dup_tokens"))
+    )

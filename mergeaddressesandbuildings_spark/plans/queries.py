@@ -2676,6 +2676,51 @@ def embedding_kmeans_clusters(spark, sf_dir):
     return clustering.kmeans_assign(emb, k=8, iters=2)
 
 
+@register(
+    "doc_ngram_coverage",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(ws[i:i+4], ' ') AS gram
+      FROM t, unnest(range(1, GREATEST(len(ws) - 3, 1))) AS s(i)
+      WHERE len(ws) >= 5
+    ),
+    dup AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) >= 2),
+    d AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM d
+    ),
+    agg AS (
+      SELECT doc_id,
+             SUM(CASE WHEN prev IS NULL THEN 5
+                      ELSE LEAST(5, pos - prev) END) AS dup_tokens
+      FROM isl GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ws) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_ngram_coverage(spark, sf_dir):
+    """Exact duplicated-substring coverage per document
+    (operators/doc_dedupe.py duplicated_ngram_coverage, Lee-et-al-style
+    dedup signal): tokens covered by any corpus-duplicated word 5-gram,
+    counted via one gram census agg + a gaps-and-islands lag window.
+    Integer outputs make the iterated interval-union arithmetic
+    driver-hashable; the oracle re-derives the union independently in
+    DuckDB SQL."""
+    from mergeaddressesandbuildings_spark.operators import doc_dedupe
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_dedupe.duplicated_ngram_coverage(docs, n=5, min_count=2)
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -2705,6 +2750,9 @@ _DRIVER_WINDOW_TAIL = [
     "corpus_vocab",               # explode+agg: doc_bm25_topk's index
                                   # build is the same shape, in window
                                   # (displaced for events_stream_join)
+    "raster_sample_customers",    # raster family keeps rasterize_customers
+                                  # + raster_vector_hotcells in window
+                                  # (displaced for doc_ngram_coverage)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
