@@ -127,3 +127,76 @@ def kmeans_assign(embeddings: DataFrame, k: int = 8, iters: int = 3,
         cents = new
     return (_assign_ids(qdf, cents)
             .select("vec_id", "cluster_id"))
+
+
+def grid_epsilon_cluster(points: DataFrame, eps: int,
+                         id_col: str = "pid",
+                         x_col: str = "ix", y_col: str = "iy",
+                         scratch_dir: str | None = None,
+                         max_iters: int = 50) -> DataFrame:
+    """DBSCAN-style single-linkage spatial clustering with an integer
+    distance cutoff: two points share a cluster iff a chain of points
+    connects them with every hop's squared Euclidean distance
+    <= eps^2. → (pid, cluster_id = min pid reachable), both BIGINT —
+    exact integer arithmetic end to end, so the labeling is
+    engine/parallelism/retry-invariant and driver-hashable.
+
+    The address-clustering counterpart of the merge engine's kNN join:
+    candidate generation is the SAME eps-grid equi-join shape as
+    operators/spatial_join.py (cell = coord div eps; a pair within eps
+    always lands in adjacent cells, so probing the 3x3 neighborhood is
+    exhaustive — no theta join, no all-pairs). Edges then collapse to
+    components via doc_dedupe.dup_clusters' hash-min label propagation
+    with path halving (O(log diameter) rounds, parquet-barriered).
+
+    Scale shape: the probe side explodes 9x (bounded constant); the
+    join is an equi-join on cell id, so dense urban cells are the only
+    hotspot — the same skew profile spatial_join handles by salting,
+    and eps chosen ~ the match cutoff keeps per-cell membership small.
+    ``scratch_dir`` follows dup_clusters' contract (shared filesystem
+    on a real cluster).
+    """
+    if eps < 1:
+        raise ValueError("eps must be a positive integer")
+    from mergeaddressesandbuildings_spark.operators import doc_dedupe
+
+    pts = points.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(x_col).cast("long").alias("ix"),
+        F.col(y_col).cast("long").alias("iy"),
+    )
+    cell = [(F.floor(F.col(c) / eps)).cast("long") for c in ("ix", "iy")]
+    home = pts.select("pid", "ix", "iy",
+                      cell[0].alias("cx"), cell[1].alias("cy"))
+    probe = home.select(
+        "pid", "ix", "iy",
+        F.explode(F.array(*[
+            F.struct((F.col("cx") + dx).alias("cx"),
+                     (F.col("cy") + dy).alias("cy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])).alias("nc"),
+    ).select("pid", "ix", "iy",
+             F.col("nc.cx").alias("cx"), F.col("nc.cy").alias("cy"))
+    h, p = home.alias("h"), probe.alias("p")
+    dx = F.col("h.ix") - F.col("p.ix")
+    dy = F.col("h.iy") - F.col("p.iy")
+    edges = (
+        h.join(p, ["cx", "cy"])
+        .filter((F.col("h.pid") < F.col("p.pid"))
+                & (dx * dx + dy * dy <= F.lit(eps * eps)))
+        .select(F.col("h.pid").alias("pid_a"),
+                F.col("p.pid").alias("pid_b"))
+        # the mirrored home/probe roles can emit a pair twice
+        .distinct()
+    )
+    comps = doc_dedupe.dup_clusters(
+        edges, a_col="pid_a", b_col="pid_b",
+        max_iters=max_iters, scratch_dir=scratch_dir,
+    ).select(F.col("doc_id").alias("pid"),
+             F.col("cluster_id").cast("long").alias("cluster_id"))
+    return (
+        pts.select("pid")
+        .join(comps, "pid", "left")
+        .select("pid",
+                F.coalesce("cluster_id", F.col("pid")).alias("cluster_id"))
+    )

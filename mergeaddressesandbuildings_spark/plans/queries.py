@@ -2721,6 +2721,56 @@ def doc_ngram_coverage(spark, sf_dir):
     return doc_dedupe.duplicated_ngram_coverage(docs, n=5, min_count=2)
 
 
+@register(
+    "spatial_eps_clusters",
+    """
+    WITH RECURSIVE
+    pts AS (
+      SELECT CAST(c_custkey AS BIGINT) AS pid,
+             (CAST(c_custkey AS BIGINT) * 2654435761) % 251 AS ix,
+             (CAST(c_custkey AS BIGINT) * 40503) % 241 AS iy
+      FROM customer
+    ),
+    prs AS (
+      SELECT a.pid AS pa, b.pid AS pb
+      FROM pts a JOIN pts b
+        ON a.pid < b.pid
+       AND (a.ix - b.ix) * (a.ix - b.ix)
+           + (a.iy - b.iy) * (a.iy - b.iy) <= 36
+    ),
+    edges AS (SELECT pa AS src, pb AS dst FROM prs
+              UNION SELECT pb, pa FROM prs),
+    reach(src, dst) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT p.pid AS pid,
+           CAST(COALESCE(m.cluster_id, p.pid) AS BIGINT) AS cluster_id
+    FROM pts p LEFT JOIN (
+      SELECT src AS pid, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    ) m USING (pid)
+    """,
+)
+def spatial_eps_clusters(spark, sf_dir):
+    """DBSCAN-style single-linkage address clustering
+    (operators/clustering.py grid_epsilon_cluster): deterministic
+    integer point cloud from customer keys, eps=6 connectivity via the
+    3x3 eps-grid candidate join + hash-min label propagation. The
+    oracle recomputes components from the brute-force O(n^2) edge set
+    with a recursive-CTE transitive closure — integer-exact labels
+    make the iterative algorithm driver-hashable (same contract as
+    doc_dup_clusters / doc_link_pagerank)."""
+    from mergeaddressesandbuildings_spark.operators import clustering
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("pid"),
+        ((F.col("c_custkey").cast("long") * 2654435761) % 251).alias("ix"),
+        ((F.col("c_custkey").cast("long") * 40503) % 241).alias("iy"),
+    )
+    return clustering.grid_epsilon_cluster(pts, eps=6)
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -2753,6 +2803,10 @@ _DRIVER_WINDOW_TAIL = [
     "raster_sample_customers",    # raster family keeps rasterize_customers
                                   # + raster_vector_hotcells in window
                                   # (displaced for doc_ngram_coverage)
+    "morton_cells",               # bit-spread cell encode: rasterize_
+                                  # customers' oracle embeds the same
+                                  # spread SQL; r1 driver green
+                                  # (displaced for spatial_eps_clusters)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
