@@ -2771,6 +2771,60 @@ def spatial_eps_clusters(spark, sf_dir):
     return clustering.grid_epsilon_cluster(pts, eps=6)
 
 
+def _bpe_oracle_sql(n_merges: int = 6) -> str:
+    """Unroll ``n_merges`` classic-BPE rounds in DuckDB SQL (the
+    kmeans-oracle pattern: iterate by CTE chain). Symbols ride a
+    chr(1)-wrapped string so DuckDB's non-overlapping left-to-right
+    replace IS the BPE merge — identical to the Spark engine's
+    F.replace (operators/bpe.py module docstring)."""
+    blocks = ["""
+    w0 AS (
+      SELECT array_to_string(
+               list_transform(string_split(w, ''),
+                              c -> chr(1) || c || chr(1)), '') AS s,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY w
+    )"""]
+    for r in range(1, n_merges + 1):
+        blocks.append(f"""
+    p{r} AS (
+      SELECT t[i] AS a, t[i + 1] AS b, SUM(cnt) AS freq
+      FROM (SELECT list_filter(string_split(s, chr(1)),
+                               x -> x <> '') AS t, cnt
+            FROM w{r - 1}),
+           unnest(range(1, len(t))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    t{r} AS (SELECT a, b, freq FROM p{r}
+             ORDER BY freq DESC, a, b LIMIT 1),
+    w{r} AS (
+      SELECT replace(s, chr(1) || a || chr(1) || chr(1) || b || chr(1),
+                     chr(1) || a || b || chr(1)) AS s, cnt
+      FROM w{r - 1} CROSS JOIN t{r}
+    )""")
+    finals = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rank, a AS lhs, b AS rhs, "
+        f"a || b AS merged, CAST(freq AS BIGINT) AS freq FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(blocks) + "\n    " + finals
+
+
+@register("bpe_merges", _bpe_oracle_sql(6))
+def bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer-merge training (operators/bpe.py):
+    6 merge rounds over the corpus's [a-z]+ words, word-frequency
+    weighted, ties broken on lexicographic (lhs, rhs). Exact integer
+    pair counts + binary string collation make the iterative training
+    run driver-hashable; the oracle unrolls the same rounds in DuckDB
+    SQL with the identical sentinel-wrapped replace semantics."""
+    from mergeaddressesandbuildings_spark.operators import bpe
+
+    return bpe.bpe_train(_t(spark, sf_dir, "documents"), n_merges=6)
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -2807,6 +2861,9 @@ _DRIVER_WINDOW_TAIL = [
                                   # customers' oracle embeds the same
                                   # spread SQL; r1 driver green
                                   # (displaced for spatial_eps_clusters)
+    "part_type_revenue",          # join+agg family: segment_revenue +
+                                  # broadcast_nation_join in window
+                                  # (displaced for bpe_merges)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
