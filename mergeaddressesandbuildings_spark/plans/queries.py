@@ -2825,6 +2825,43 @@ def bpe_merges(spark, sf_dir):
     return bpe.bpe_train(_t(spark, sf_dir, "documents"), n_merges=6)
 
 
+@register(
+    "order_price_quantiles",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = FLOOR((n-1)*0.25)+1
+                    THEN o_totalprice END) AS q25,
+           MAX(CASE WHEN rn = FLOOR((n-1)*0.5)+1
+                    THEN o_totalprice END) AS q50,
+           MAX(CASE WHEN rn = FLOOR((n-1)*0.75)+1
+                    THEN o_totalprice END) AS q75,
+           MAX(CASE WHEN rn = FLOOR((n-1)*0.9)+1
+                    THEN o_totalprice END) AS q90
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def order_price_quantiles(spark, sf_dir):
+    """Exact per-group quantiles by rank selection
+    (operators/quantiles.py): the q-quantile is the value at rank
+    floor((n-1)*q)+1 — no interpolation, no float math on the values,
+    so the result is a real data value and engine-exact (the contract
+    percentile_approx sketches can never satisfy). One window sort +
+    one hash agg selects all four quantiles in a single pass."""
+    from mergeaddressesandbuildings_spark.operators import quantiles
+
+    return quantiles.exact_group_quantiles(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_totalprice",
+        qs=(0.25, 0.5, 0.75, 0.9))
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -2864,6 +2901,10 @@ _DRIVER_WINDOW_TAIL = [
     "part_type_revenue",          # join+agg family: segment_revenue +
                                   # broadcast_nation_join in window
                                   # (displaced for bpe_merges)
+    "doc_split_assign",           # sha-threshold map-side sampling:
+                                  # doc_stratified_sample (same kernel)
+                                  # stays in window; r2 driver green
+                                  # (displaced for order_price_quantiles)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
