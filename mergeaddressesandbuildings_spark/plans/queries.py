@@ -2862,6 +2862,55 @@ def order_price_quantiles(spark, sf_dir):
         qs=(0.25, 0.5, 0.75, 0.9))
 
 
+@register(
+    "event_peak_concurrency",
+    """
+    WITH iv AS (
+      SELECT event_type,
+             epoch_us(ts) AS s,
+             epoch_us(ts)
+               + ((event_id * 7919) % 600 + 60) * 1000000 AS e
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS d FROM iv
+      UNION ALL SELECT event_type, e, -1 FROM iv
+    ),
+    r AS (
+      SELECT event_type, t,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS run
+      FROM pts
+    )
+    SELECT r.event_type,
+           CAST(g.peak AS BIGINT) AS peak,
+           CAST(MIN(r.t) AS BIGINT) AS peak_at
+    FROM r JOIN (SELECT event_type, MAX(run) AS peak
+                 FROM r GROUP BY event_type) g
+      ON r.event_type = g.event_type AND r.run = g.peak
+    GROUP BY r.event_type, g.peak
+    """,
+)
+def event_peak_concurrency(spark, sf_dir):
+    """Sweep-line peak concurrency (operators/intervals.py): sessions
+    synthesized as [ts, ts + dur) with a deterministic integer
+    duration from event_id, peak simultaneous sessions per event_type
+    plus the earliest micros instant attaining it. Exact integer
+    sweep (±1 deltas, epoch-micros) makes the curve max
+    driver-hashable; the oracle re-runs the sweep in DuckDB window
+    SQL with the identical (t, delta) tie order."""
+    from mergeaddressesandbuildings_spark.operators import intervals
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        us.alias("s"),
+        (us + ((F.col("event_id") * 7919) % 600 + 60) * F.lit(1000000)
+         ).alias("e"),
+    )
+    return intervals.max_concurrency(ev, "event_type", "s", "e")
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -2905,6 +2954,10 @@ _DRIVER_WINDOW_TAIL = [
                                   # doc_stratified_sample (same kernel)
                                   # stays in window; r2 driver green
                                   # (displaced for order_price_quantiles)
+    "street_normalize",           # string-normalization exprs: exercised
+                                  # inside merge_assignments' dedupe path
+                                  # in window; r1 driver green
+                                  # (displaced for event_peak_concurrency)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
