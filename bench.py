@@ -56,6 +56,14 @@ HEADLINE = [
     "doc_link_pagerank",
     "doc_bm25_topk",
     "embedding_kmeans_clusters",
+    "bpe_merges",
+    "doc_ngram_coverage",
+    "order_price_quantiles",
+    "event_peak_concurrency",
+    # spatial_eps_clusters is deliberately NOT benched: at sf0.1 the
+    # fixed 251x241 synthetic grid saturates (mean degree ~28 -> one
+    # giant component), which times percolation physics rather than
+    # the operator; its perf profile is dup_clusters', already benched.
 ]
 
 # round-1 headline set (BENCH_r01.json) for the like-for-like subtotal

@@ -2911,6 +2911,43 @@ def event_peak_concurrency(spark, sf_dir):
     return intervals.max_concurrency(ev, "event_type", "s", "e")
 
 
+@register(
+    "hll_user_registers",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substr(sha256('hll|' || CAST(user_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS h60
+      FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             CAST(h60 % 64 AS INT) AS bucket,
+             h60 // 64 AS suffix
+      FROM h
+    )
+    SELECT event_type, bucket,
+           CAST(MAX(CASE WHEN suffix = 0 THEN 55
+                         ELSE 55 - length(bin(suffix)) END) AS INT) AS rho
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def hll_user_registers(spark, sf_dir):
+    """HyperLogLog registers for distinct users per event_type
+    (operators/sketches.py, sha256 oracle mode, p=6): buckets,
+    suffixes and rho are exact integers from the repo's 60-bit sha256
+    hash, with bit_length computed via minimal binary-string length
+    (no float log2) — the sketch's register state is engine-exact and
+    driver-hashable even though the ESTIMATE it feeds (hll_estimate,
+    accuracy-tested in pytest) is approximate. Register max is one
+    map-side-combinable hash agg; xxhash64 is the at-scale mode."""
+    from mergeaddressesandbuildings_spark.operators import sketches
+
+    return sketches.hll_registers(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id",
+        p=6, hash="sha256")
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -2958,6 +2995,11 @@ _DRIVER_WINDOW_TAIL = [
                                   # inside merge_assignments' dedupe path
                                   # in window; r1 driver green
                                   # (displaced for event_peak_concurrency)
+    "mkt_tag_value",              # array/map exprs: doc_pii_redact +
+                                  # doc_boilerplate_strip in window use
+                                  # the same transform/filter kernels;
+                                  # r1 driver green
+                                  # (displaced for hll_user_registers)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
