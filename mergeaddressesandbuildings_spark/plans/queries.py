@@ -2948,6 +2948,44 @@ def hll_user_registers(spark, sf_dir):
         p=6, hash="sha256")
 
 
+@register(
+    "event_funnel",
+    """
+    WITH e AS (
+      SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
+      FROM events
+    ),
+    s1 AS (SELECT u, MIN(t) AS t FROM e WHERE et = 'view' GROUP BY u),
+    s2 AS (SELECT e.u, MIN(e.t) AS t FROM e JOIN s1 ON e.u = s1.u
+           WHERE e.et = 'click' AND e.t > s1.t GROUP BY e.u),
+    s3 AS (SELECT e.u, MIN(e.t) AS t FROM e JOIN s2 ON e.u = s2.u
+           WHERE e.et = 'purchase' AND e.t > s2.t GROUP BY e.u)
+    SELECT CAST(1 AS INT) AS stage, 'view' AS event_type,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click',
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase',
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+)
+def event_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel (operators/funnel.py):
+    earliest-transition semantics — stage k counts users with a
+    stage-k event strictly after their earliest stage-(k-1)
+    completion. MIN-only reductions over exact epoch-micros make the
+    funnel deterministic; per stage one conditional MIN agg + one
+    user-keyed join whose shuffle shrinks monotonically down the
+    funnel. Oracle chains the same MIN/strict-> gates in DuckDB."""
+    from mergeaddressesandbuildings_spark.operators import funnel
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    return funnel.funnel_counts(ev, ["view", "click", "purchase"])
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -3000,6 +3038,11 @@ _DRIVER_WINDOW_TAIL = [
                                   # the same transform/filter kernels;
                                   # r1 driver green
                                   # (displaced for hll_user_registers)
+    "repeat_buyers_9596",         # intersect: union_segments (union) +
+                                  # customers_without_1995_orders (anti)
+                                  # keep set-op coverage in window;
+                                  # r3-de-vacuated, r2 green
+                                  # (displaced for event_funnel)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
