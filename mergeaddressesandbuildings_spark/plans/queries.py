@@ -2986,6 +2986,68 @@ def event_funnel(spark, sf_dir):
     return funnel.funnel_counts(ev, ["view", "click", "purchase"])
 
 
+@register(
+    "user_weekly_retention",
+    """
+    WITH e AS (
+      SELECT user_id AS u, epoch_us(ts) // 604800000000 AS p
+      FROM events
+    ),
+    f AS (SELECT u, MIN(p) AS cohort FROM e GROUP BY u),
+    c AS (SELECT DISTINCT e.u, f.cohort, e.p - f.cohort AS off
+          FROM e JOIN f ON e.u = f.u)
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           CAST(off AS BIGINT) AS offset,
+           CAST(COUNT(*) AS BIGINT) AS users
+    FROM c GROUP BY cohort, off
+    """,
+)
+def user_weekly_retention(spark, sf_dir):
+    """Cohort retention triangle (operators/retention.py): users
+    cohorted by the week of their first event, distinct-user counts
+    per (cohort, week offset). Two map-side-combinable hash aggs, no
+    window over the event log; exact integer week indices via
+    exact-multiple division (a raw floor(t/P) double quotient can
+    round across an integer)."""
+    from mergeaddressesandbuildings_spark.operators import retention
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    return retention.cohort_retention(ev, "user_id", "ts_us",
+                                      period_us=604800000000)
+
+
+@register(
+    "user_event_scd2",
+    """
+    SELECT user_id,
+           epoch_us(ts) AS valid_from,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts)) AS valid_to,
+           event_type
+    FROM events WHERE user_id < 20
+    """,
+)
+def user_event_scd2(spark, sf_dir):
+    """SCD2 validity intervals (operators/retention.py
+    scd2_intervals): the per-user event-type change log becomes
+    [valid_from, valid_to) rows via one per-key lead() window —
+    the materialized dual of the as-of join's point lookup
+    (events_asof_state). Duplicate (key, ts) changes raise loudly
+    instead of producing nondeterministic interval order (the events
+    fixture has micros-unique timestamps per user; a real CDC feed
+    would pre-dedupe). user_id < 20 keeps the driver row set
+    review-sized."""
+    from mergeaddressesandbuildings_spark.operators import retention
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20).select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    return retention.scd2_intervals(ev, ["user_id"], "ts_us",
+                                    ["event_type"])
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -3043,6 +3105,14 @@ _DRIVER_WINDOW_TAIL = [
                                   # keep set-op coverage in window;
                                   # r3-de-vacuated, r2 green
                                   # (displaced for event_funnel)
+    "embedding_dup_clusters",     # dup_clusters kernel runs in window
+                                  # via doc_dup_clusters AND
+                                  # spatial_eps_clusters; r2 green
+                                  # (displaced for user_weekly_retention)
+    "ann_cosine_lsh",             # LSH bucket equi-join shape stays in
+                                  # window via embedding_near_dup_lsh +
+                                  # ann_cosine_ivf; golden-paired green
+                                  # (displaced for user_event_scd2)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
