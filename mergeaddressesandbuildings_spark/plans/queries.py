@@ -3048,6 +3048,40 @@ def user_event_scd2(spark, sf_dir):
                                     ["event_type"])
 
 
+@register(
+    "event_value_trend",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM (SELECT event_type,
+                 hour(ts) AS x,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def event_value_trend(spark, sf_dir):
+    """Grouped OLS sufficient statistics (operators/regression.py):
+    per event_type, exact int64 (n, Sx, Sy, Sxx, Sxy, Syy) of
+    value-cents on hour-of-day — the distributed half of linear
+    regression kept purely integer so it is agg-order-invariant and
+    driver-hashable; ols_fit solves slope/intercept/r2 from the tiny
+    stats row where no merge order can drift (tested vs numpy)."""
+    from mergeaddressesandbuildings_spark.operators import regression
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    return regression.ols_stats(ev, ["event_type"], "x", "y")
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -3113,6 +3147,10 @@ _DRIVER_WINDOW_TAIL = [
                                   # window via embedding_near_dup_lsh +
                                   # ann_cosine_ivf; golden-paired green
                                   # (displaced for user_event_scd2)
+    "media_frame_sample",         # mapInPandas binary plumbing stays in
+                                  # window via media_decode_meta +
+                                  # media_features; golden-paired green
+                                  # (displaced for event_value_trend)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
