@@ -26,7 +26,7 @@ import tempfile
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_counts"]
 
 
 def pagerank(edges: DataFrame,
@@ -123,3 +123,83 @@ def pagerank(edges: DataFrame,
         _rm("edges")
         _rm("ranks_init")
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst",
+                    rank_base: int = 1 << 32) -> DataFrame:
+    """Exact per-node triangle counts → (node, triangles), BIGINT.
+
+    Degree-ordered wedge counting (Schank & Wagner): canonicalize to
+    an undirected simple graph, orient every edge from the lower- to
+    the higher-(degree, id) endpoint, enumerate wedges at each
+    vertex's out-neighborhood, and close them against the oriented
+    edge set. Each triangle is found exactly once, at its
+    lowest-ranked vertex — and because out-degrees under this
+    orientation are bounded by O(sqrt(m)), the wedge blowup is
+    O(m^1.5) worst case instead of the naive sum(deg^2): the reason
+    this shape survives power-law web graphs where a hub's deg^2
+    would explode.
+
+    Plan: 2 hash aggs (degrees, final counts) + 3 equi-joins (rank
+    attach x2 folded into one generated column, wedge self-join,
+    closing-edge semi-join) — all exact integers, no floats anywhere,
+    engine/parallelism/retry-invariant. ``rank_base`` builds the
+    total order rank = deg * rank_base + node and must exceed the
+    max node id (loudly guarded at plan time via raise_error)."""
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    und = (
+        e.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"),
+                F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    nodes = und.select(F.col("u").alias("node")).unionByName(
+        und.select(F.col("v").alias("node"))).distinct()
+    deg = (
+        und.select(F.col("u").alias("node")).unionByName(
+            und.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("deg"))
+    )
+    guarded = F.when(
+        F.col("node") < rank_base,
+        F.col("deg") * F.lit(rank_base) + F.col("node"),
+    ).otherwise(F.raise_error(F.lit(
+        "triangle_counts: node id >= rank_base — raise rank_base")))
+    rk = deg.select("node", guarded.alias("r"))
+    withr = (
+        und.join(rk.withColumnRenamed("node", "u")
+                 .withColumnRenamed("r", "ru"), "u")
+        .join(rk.withColumnRenamed("node", "v")
+              .withColumnRenamed("r", "rv"), "v")
+    )
+    oriented = withr.select(
+        F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v"))
+        .alias("a"),
+        F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u"))
+        .alias("b"),
+        F.least("ru", "rv").alias("ra"),
+        F.greatest("ru", "rv").alias("rb"),
+    )
+    lo = oriented.select("a", F.col("b").alias("x"), F.col("rb").alias("rx"))
+    hi = oriented.select("a", F.col("b").alias("y"), F.col("rb").alias("ry"))
+    wedges = (
+        lo.join(hi, "a")
+        .filter(F.col("rx") < F.col("ry"))
+        .select("a", "x", "y")
+    )
+    tris = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "x", "y")).alias("node"))
+        .groupBy("node").agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        nodes.join(per_node, "node", "left")
+        .select(F.col("node"),
+                F.coalesce("triangles", F.lit(0)).cast("long")
+                .alias("triangles"))
+    )

@@ -3082,6 +3082,60 @@ def event_value_trend(spark, sf_dir):
     return regression.ols_stats(ev, ["event_type"], "x", "y")
 
 
+@register(
+    "doc_link_triangles",
+    """
+    WITH d AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 500),
+    e0 AS (
+      SELECT DISTINCT doc_id AS src, (doc_id * k + n_chars) % 500 AS dst
+      FROM d, (SELECT unnest([1, 2, 3]) AS k)
+      WHERE (doc_id * k + n_chars) % 500 <> doc_id
+    ),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS u,
+                            GREATEST(src, dst) AS v FROM e0),
+    nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    per AS (
+      SELECT node, COUNT(*) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT CAST(n.node AS BIGINT) AS node,
+           CAST(COALESCE(per.t, 0) AS BIGINT) AS triangles
+    FROM nodes n LEFT JOIN per ON per.node = n.node
+    """,
+)
+def doc_link_triangles(spark, sf_dir):
+    """Exact per-node triangle counts on the link graph
+    (operators/graph.py triangle_counts, degree-ordered wedge
+    counting — out-degrees bounded O(sqrt(m)) under the orientation,
+    so the wedge join survives power-law web graphs where naive
+    deg^2 enumeration explodes). Same deterministic edge synthesis
+    as doc_link_pagerank; the oracle counts each a<b<c triangle once
+    via a brute triple-join, fine at oracle scale."""
+    from mergeaddressesandbuildings_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    edges = (
+        docs.select("doc_id", "n_chars")
+        .withColumn("k", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * F.col("k") + F.col("n_chars")) % 500)
+            .alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return graph.triangle_counts(edges)
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -3150,6 +3204,11 @@ _DRIVER_WINDOW_TAIL = [
     "media_frame_sample",         # mapInPandas binary plumbing stays in
                                   # window via media_decode_meta +
                                   # media_features; golden-paired green
+                                  # (displaced for event_value_trend)
+    "customers_without_1995_orders",  # anti-join shape stays in window
+                                  # via merge_assignments (J3/J4 anti
+                                  # joins) + robots_filtered_docs
+                                  # screen; r3-de-vacuated r2 green
                                   # (displaced for event_value_trend)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
