@@ -1753,6 +1753,9 @@ ORACLE.update({
     "media_decode_meta": _golden_sql("media_decode_meta"),
     "media_features": _golden_sql("media_features"),
     "media_frame_sample": _golden_sql("media_frame_sample"),
+    # registered later in this module; golden from make_goldens
+    # dp_goldens (independent recursive pure-Python DP)
+    "way_simplify_dp": _golden_sql("way_simplify_dp"),
 })
 
 
@@ -3136,6 +3139,31 @@ def doc_link_triangles(spark, sf_dir):
     return graph.triangle_counts(edges)
 
 
+@register("way_simplify_dp")
+def way_simplify_dp(spark, sf_dir):
+    """Integer-exact Douglas-Peucker polyline simplification
+    (operators/simplify.py): 40 deterministic synthetic way
+    geometries x 120 vertices, eps=7. Geometry-local applyInPandas
+    group map — the same Arrow-batched pandas-UDF shape as the
+    multimodal family, which is why this query is golden-paired
+    (tools/make_goldens.py dp_goldens: an INDEPENDENT recursive
+    pure-Python DP over the same synthesis) rather than
+    SQL-oracled — per-geometry recursion has no DuckDB surface."""
+    from mergeaddressesandbuildings_spark.operators import simplify
+
+    ids = spark.range(40 * 120)
+    line_id = ((F.col("id") - F.col("id") % 120) / 120).cast("long")
+    pt_idx = (F.col("id") % 120).cast("long")
+    pts = ids.select(
+        line_id.alias("line_id"),
+        pt_idx.alias("pt_idx"),
+        (pt_idx * 3 + line_id % 5).alias("x"),
+        (((line_id + 3) * pt_idx * pt_idx) % 211
+         + (pt_idx * 17) % 13).alias("y"),
+    )
+    return simplify.douglas_peucker(pts, eps=7)
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -3210,6 +3238,11 @@ _DRIVER_WINDOW_TAIL = [
                                   # joins) + robots_filtered_docs
                                   # screen; r3-de-vacuated r2 green
                                   # (displaced for event_value_trend)
+    "media_features",             # mapInPandas binary plumbing stays in
+                                  # window via media_decode_meta (and
+                                  # way_simplify_dp's applyInPandas);
+                                  # golden-paired green
+                                  # (displaced for way_simplify_dp)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +

@@ -410,12 +410,60 @@ def verify_against_engine(goldens: dict[str, pa.Table]) -> None:
         spark.stop()
 
 
+def dp_goldens() -> dict[str, pa.Table]:
+    """way_simplify_dp: independent RECURSIVE pure-Python DP (Python
+    bigints; the engine uses an iterative numpy stack) over the same
+    deterministic 40x120 synthesis as plans/queries.way_simplify_dp."""
+    EPS2 = 7 * 7
+
+    def keep_indices(pts):
+        keep = {0, len(pts) - 1}
+
+        def rec(i, j):
+            if j - i < 2:
+                return
+            ax, ay = pts[i]
+            bx, by = pts[j]
+            dx, dy = bx - ax, by - ay
+            best_d2, best_th, best_k = -1, 0, None
+            for k in range(i + 1, j):
+                px, py = pts[k]
+                if dx == 0 and dy == 0:
+                    d2, th = (px - ax) ** 2 + (py - ay) ** 2, EPS2
+                else:
+                    cr = dx * (py - ay) - dy * (px - ax)
+                    d2, th = cr * cr, EPS2 * (dx * dx + dy * dy)
+                if d2 > best_d2:
+                    best_d2, best_th, best_k = d2, th, k
+            if best_k is not None and best_d2 > best_th:
+                keep.add(best_k)
+                rec(i, best_k)
+                rec(best_k, j)
+
+        rec(0, len(pts) - 1)
+        return sorted(keep)
+
+    line_ids, pt_idxs = [], []
+    for lid in range(40):
+        pts = [(i * 3 + lid % 5,
+                ((lid + 3) * i * i) % 211 + (i * 17) % 13)
+               for i in range(120)]
+        for k in keep_indices(pts):
+            line_ids.append(lid)
+            pt_idxs.append(k)
+    return {"way_simplify_dp": pa.table({
+        "line_id": pa.array(line_ids, pa.int64()),
+        "pt_idx": pa.array(pt_idxs, pa.int64()),
+    })}
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     goldens = {}
     goldens.update(merge_goldens())
     goldens.update(ann_goldens())
     goldens.update(media_goldens())
+    goldens.update(dp_goldens())
     print("verifying engine vs independent goldens ...")
     verify_against_engine(goldens)
     for name, table in goldens.items():
