@@ -3164,6 +3164,32 @@ def way_simplify_dp(spark, sf_dir):
     return simplify.douglas_peucker(pts, eps=7)
 
 
+@register(
+    "supplier_name_fuzzy_pairs",
+    """
+    WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS id, s_name AS nm
+               FROM supplier)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+    FROM s a JOIN s b
+      ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 1
+    """,
+)
+def supplier_name_fuzzy_pairs(spark, sf_dir):
+    """Typo-tolerant name matching (operators/fuzzy.py edit1_pairs):
+    all supplier-name pairs at edit distance <= 1 via SymSpell
+    deletion-neighborhood blocking — candidate generation is an
+    EQUI-join on generated deletion variants (complete by
+    construction for distance <= 1, proven vs the brute oracle in
+    pytest), then an exact JVM levenshtein verify on candidates
+    only. The oracle is the brute O(n^2) theta join, fine at oracle
+    scale and exactly what the equi-join blocking avoids at 10^12."""
+    from mergeaddressesandbuildings_spark.operators import fuzzy
+
+    return fuzzy.edit1_pairs(_t(spark, sf_dir, "supplier"),
+                             "s_suppkey", "s_name")
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -3243,6 +3269,11 @@ _DRIVER_WINDOW_TAIL = [
                                   # way_simplify_dp's applyInPandas);
                                   # golden-paired green
                                   # (displaced for way_simplify_dp)
+    "robots_filtered_docs",       # anti-join screen family: merge
+                                  # J3/J4 anti joins in window via
+                                  # merge_assignments; r3 driver green
+                                  # (displaced for
+                                  # supplier_name_fuzzy_pairs)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
