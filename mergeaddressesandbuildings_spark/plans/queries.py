@@ -1756,6 +1756,8 @@ ORACLE.update({
     # registered later in this module; golden from make_goldens
     # dp_goldens (independent recursive pure-Python DP)
     "way_simplify_dp": _golden_sql("way_simplify_dp"),
+    # golden from make_goldens hull_goldens (independent Jarvis march)
+    "cluster_convex_hulls": _golden_sql("cluster_convex_hulls"),
 })
 
 
@@ -3190,6 +3192,24 @@ def supplier_name_fuzzy_pairs(spark, sf_dir):
                              "s_suppkey", "s_name")
 
 
+@register("cluster_convex_hulls")
+def cluster_convex_hulls(spark, sf_dir):
+    """Per-group convex hulls (operators/hull.py, integer monotone
+    chain): 12 deterministic synthetic point clusters, CCW strict
+    hulls from the lexicographically smallest vertex. Golden-paired
+    (tools/make_goldens.py hull_goldens: an INDEPENDENT Jarvis-march
+    gift-wrapping implementation over the same synthesis) — group-
+    local geometry has no DuckDB surface, the simplify.py situation."""
+    from mergeaddressesandbuildings_spark.operators import hull
+
+    pts = spark.range(2000).select(
+        (F.col("id") % 12).alias("g"),
+        ((F.col("id") * 2654435761) % 2001 - 1000).alias("x"),
+        ((F.col("id") * 40503) % 2001 - 1000).alias("y"),
+    )
+    return hull.convex_hulls(pts, "g")
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -3274,6 +3294,10 @@ _DRIVER_WINDOW_TAIL = [
                                   # merge_assignments; r3 driver green
                                   # (displaced for
                                   # supplier_name_fuzzy_pairs)
+    "rasterize_customers",        # raster_vector_hotcells in window
+                                  # RUNS rasterize_points as its first
+                                  # stage; r3 driver green
+                                  # (displaced for cluster_convex_hulls)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +

@@ -457,6 +457,60 @@ def dp_goldens() -> dict[str, pa.Table]:
     })}
 
 
+def hull_goldens() -> dict[str, pa.Table]:
+    """cluster_convex_hulls: independent Jarvis-march gift wrapping
+    (the engine uses Andrew's monotone chain) over the same
+    deterministic 2000-point / 12-group synthesis as
+    plans/queries.cluster_convex_hulls."""
+
+    def jarvis(pts):
+        pts = sorted(set(pts))
+        if len(pts) <= 2:
+            return pts
+        start = pts[0]
+        hull, cur = [start], start
+        while True:
+            cand = None
+            for p in pts:
+                if p == cur:
+                    continue
+                if cand is None:
+                    cand = p
+                    continue
+                cross = ((cand[0] - cur[0]) * (p[1] - cur[1])
+                         - (cand[1] - cur[1]) * (p[0] - cur[0]))
+                if cross < 0:
+                    cand = p
+                elif cross == 0:
+                    if ((p[0] - cur[0]) ** 2 + (p[1] - cur[1]) ** 2
+                            > (cand[0] - cur[0]) ** 2
+                            + (cand[1] - cur[1]) ** 2):
+                        cand = p
+            if cand == start:
+                break
+            hull.append(cand)
+            cur = cand
+        return hull
+
+    groups = {}
+    for i in range(2000):
+        groups.setdefault(i % 12, []).append(
+            ((i * 2654435761) % 2001 - 1000, (i * 40503) % 2001 - 1000))
+    g_col, seq_col, x_col, y_col = [], [], [], []
+    for g in sorted(groups):
+        for seq, (x, y) in enumerate(jarvis(groups[g])):
+            g_col.append(g)
+            seq_col.append(seq)
+            x_col.append(x)
+            y_col.append(y)
+    return {"cluster_convex_hulls": pa.table({
+        "g": pa.array(g_col, pa.int64()),
+        "seq": pa.array(seq_col, pa.int32()),
+        "x": pa.array(x_col, pa.int64()),
+        "y": pa.array(y_col, pa.int64()),
+    })}
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     goldens = {}
@@ -464,6 +518,7 @@ def main() -> None:
     goldens.update(ann_goldens())
     goldens.update(media_goldens())
     goldens.update(dp_goldens())
+    goldens.update(hull_goldens())
     print("verifying engine vs independent goldens ...")
     verify_against_engine(goldens)
     for name, table in goldens.items():
