@@ -3210,6 +3210,46 @@ def cluster_convex_hulls(spark, sf_dir):
     return hull.convex_hulls(pts, "g")
 
 
+@register(
+    "event_transition_matrix",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t,
+             LEAD(event_type) OVER w AS next_type,
+             LEAD(epoch_us(ts)) OVER w AS next_t
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e
+    WHERE next_type IS NOT NULL AND next_t - t <= 1800000000
+    GROUP BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """Markov transition counts over per-user event sequences (the
+    path-mining dual of sessionize_events): one lead() window per
+    user + one hash agg; transitions joined only when the gap is
+    within the 30-min session bound. Exact integer counts over
+    micros-unique per-user timestamps — deterministic lead order."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("t")
+    e = (_t(spark, sf_dir, "events")
+         .select("user_id", "event_type", us.alias("t"))
+         .withColumn("next_type", F.lead("event_type").over(w))
+         .withColumn("next_t", F.lead("t").over(w)))
+    return (
+        e.filter(F.col("next_type").isNotNull()
+                 & (F.col("next_t") - F.col("t") <= 1800000000))
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("next_type").alias("to_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -3298,6 +3338,12 @@ _DRIVER_WINDOW_TAIL = [
                                   # RUNS rasterize_points as its first
                                   # stage; r3 driver green
                                   # (displaced for cluster_convex_hulls)
+    "doc_stream_dedupe",          # stateful streaming stays in window
+                                  # via url_stream_latest (ST7, same
+                                  # applyInPandasWithState kernel) +
+                                  # events_stream_join; r2 green
+                                  # (displaced for
+                                  # event_transition_matrix)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
