@@ -3250,6 +3250,49 @@ def event_transition_matrix(spark, sf_dir):
     )
 
 
+@register(
+    "event_value_anomalies",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS t,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, t, x,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS s,
+             SUM(x * x) OVER w AS q
+      FROM e
+      WINDOW w AS (PARTITION BY event_type ORDER BY t
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, t, x,
+           CAST(n AS BIGINT) AS n,
+           (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+             AND n >= 2 AS is_anomaly
+    FROM r
+    """,
+)
+def event_value_anomalies(spark, sf_dir):
+    """Rolling 3-sigma anomaly flags (operators/anomaly.py): trailing
+    20-value window per event_type over value-cents, with the z-score
+    division cross-multiplied away — (n*x-S)^2 > c^2*(n*Q-S^2) in
+    exact int64, so threshold decisions never ulp-flip between
+    engines. One per-key window sort, whole-stage-codegen JVM;
+    (event_type, ts) is micros-unique at every SF, so the window
+    order is deterministic."""
+    from mergeaddressesandbuildings_spark.operators import anomaly
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    return anomaly.rolling_anomalies(ev, "event_type", "t", "x",
+                                     window=20, c=3)
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -3344,6 +3387,11 @@ _DRIVER_WINDOW_TAIL = [
                                   # events_stream_join; r2 green
                                   # (displaced for
                                   # event_transition_matrix)
+    "doc_token_budget_sample",    # windowed-cumsum kernel stays in
+                                  # window via doc_pack_sequences
+                                  # (same distributed prefix sum);
+                                  # r3 driver green
+                                  # (displaced for event_value_anomalies)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
