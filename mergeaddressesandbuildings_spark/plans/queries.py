@@ -3293,6 +3293,66 @@ def event_value_anomalies(spark, sf_dir):
                                      window=20, c=3)
 
 
+@register(
+    "revenue_rollup",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2
+                + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+)
+def revenue_rollup(spark, sf_dir):
+    """OLAP ROLLUP / grouping-sets surface: per-(priority, status)
+    revenue with subtotal and grand-total rows in ONE pass —
+    Catalyst expands the rollup into grouping sets feeding a single
+    hash aggregate, no union of N scans. grouping_id() (standard SQL
+    bitmask, first rollup column most significant) disambiguates the
+    NULL subtotal rows; integer cents keep every level hashable."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             F.count("*").cast("long").alias("n"),
+             F.sum(_CENTS("o_totalprice")).cast("long")
+             .alias("revenue_cents"))
+        .select("o_orderpriority", "o_orderstatus",
+                "gid", "n", "revenue_cents")
+    )
+
+
+@register(
+    "event_props_hist",
+    """
+    SELECT event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                // 10 AS BIGINT) AS k_decade,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def event_props_hist(spark, sf_dir):
+    """Semi-structured JSON surface: extract the integer property
+    from the events.props JSON column (get_json_object — JVM-side
+    Jackson path evaluation, no Python) and histogram it per event
+    type. Filter/extraction happens before the one hash agg, so only
+    (type, decade) pairs shuffle — the JSON-columns-at-rest pattern
+    of a web-events warehouse."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type",
+                  F.floor(k / 10).cast("long").alias("k_decade"))
+        .groupBy("event_type", "k_decade")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -3392,6 +3452,15 @@ _DRIVER_WINDOW_TAIL = [
                                   # (same distributed prefix sum);
                                   # r3 driver green
                                   # (displaced for event_value_anomalies)
+    "domain_cap_sample",          # per-key top-k rank window stays via
+                                  # knn_topk_suppliers' rank stage;
+                                  # r3 driver green
+                                  # (displaced for revenue_rollup)
+    "doc_pii_redact",             # regex transform kernels stay via
+                                  # doc_boilerplate_strip +
+                                  # url_canonical_dedup; r3 driver
+                                  # green (displaced for
+                                  # event_props_hist)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
