@@ -3353,6 +3353,54 @@ def event_props_hist(spark, sf_dir):
     )
 
 
+@register(
+    "user_week_gapfill",
+    """
+    WITH e AS (
+      SELECT user_id AS u,
+             epoch_us(ts) // 604800000000 AS p
+      FROM events WHERE user_id < 25
+    ),
+    act AS (SELECT DISTINCT u, p FROM e),
+    span AS (SELECT u, MIN(p) AS p0, MAX(p) AS p1 FROM e GROUP BY u),
+    dense AS (
+      SELECT u, p0 + i AS p
+      FROM span, unnest(range(0, p1 - p0 + 1)) AS s(i)
+    )
+    SELECT d.u AS user_id, CAST(d.p AS BIGINT) AS week,
+           a.p IS NOT NULL AS active
+    FROM dense d LEFT JOIN act a ON a.u = d.u AND a.p = d.p
+    """,
+)
+def user_week_gapfill(spark, sf_dir):
+    """Calendar densification (gap-fill): every week between each
+    user's first and last activity, flagged active/inactive — the
+    missing-period generation every time-series warehouse needs
+    before windowed trend math. Spark side: per-user span agg →
+    sequence() + explode generates the dense axis (rows bounded by
+    span length, no cartesian calendar join) → left join back to the
+    distinct activity set. Exact integer week indices via
+    exact-multiple division (retention.py's contract)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    P = 604800000000
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("user_id") < 25)
+         .select("user_id", ((us - us % P) / P).cast("long").alias("p")))
+    act = e.distinct()
+    span = e.groupBy("user_id").agg(F.min("p").alias("p0"),
+                                    F.max("p").alias("p1"))
+    dense = span.select(
+        "user_id",
+        F.explode(F.sequence(F.col("p0"), F.col("p1"))).alias("week"))
+    return (
+        dense.join(act.withColumnRenamed("p", "week")
+                   .withColumn("active", F.lit(True)),
+                   ["user_id", "week"], "left")
+        .select("user_id", "week",
+                F.coalesce("active", F.lit(False)).alias("active"))
+    )
+
+
 _DRIVER_WINDOW_TAIL = [
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
@@ -3461,6 +3509,11 @@ _DRIVER_WINDOW_TAIL = [
                                   # url_canonical_dedup; r3 driver
                                   # green (displaced for
                                   # event_props_hist)
+    "doc_contamination",          # broadcast n-gram screen kernel stays
+                                  # via doc_bm25_topk (broadcast query
+                                  # terms) + robots family; r3 driver
+                                  # green (displaced for
+                                  # user_week_gapfill)
     "pricing_summary",            # flagship agg: priority/segment agg
                                   # family all green r1+r2 alongside
     "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
