@@ -2954,6 +2954,40 @@ def hll_user_registers(spark, sf_dir):
 
 
 @register(
+    "cms_part_quantity",
+    """
+    WITH r AS (SELECT unnest(range(4)) AS row_i),
+    h AS (
+      SELECT r.row_i,
+             CAST('0x' || substr(sha256('cms' || CAST(r.row_i AS VARCHAR)
+                                        || '|' || CAST(l_partkey AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS h60,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem, r
+    )
+    SELECT CAST(row_i AS INT) AS row_i, CAST(h60 % 64 AS INT) AS col,
+           CAST(SUM(wt) AS BIGINT) AS cnt
+    FROM h GROUP BY row_i, h60 % 64
+    """,
+)
+def cms_part_quantity(spark, sf_dir):
+    """Count-Min sketch of quantity-weighted part frequency
+    (operators/sketches.py cms_counters, sha256 oracle mode, d=4,
+    w=64): the counter matrix is exact BIGINTs from the repo's 60-bit
+    sha256 family — engine/parallelism-invariant and driver-hashable —
+    while the approximate part (cms_point_estimate's min-over-rows
+    probe, never-underestimate + eps*N bound) is accuracy-tested in
+    pytest. One d-fold explode into one map-side-combinable hash agg;
+    sketch size is d*w regardless of input rows. xxhash64 is the
+    at-scale mode (same plan, swapped hash kernel)."""
+    from mergeaddressesandbuildings_spark.operators import sketches
+
+    return sketches.cms_counters(
+        _t(spark, sf_dir, "lineitem"), [], "l_partkey",
+        weight_col="l_quantity", d=4, w=64, hash="sha256")
+
+
+@register(
     "event_funnel",
     """
     WITH e AS (
@@ -3402,6 +3436,10 @@ def user_week_gapfill(spark, sf_dir):
 
 
 _DRIVER_WINDOW_TAIL = [
+    "doc_repetition_stats",       # hash-green r2 (unchanged oracle);
+                                  # array/aggregate text kernel stays
+                                  # in window via doc_ngram_coverage
+                                  # (displaced for cms_part_quantity)
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
     "segment_revenue",            # agg+join: nation joins in window

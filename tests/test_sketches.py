@@ -91,3 +91,98 @@ def test_guards(spark, rows):
         hll_registers(df, ["k"], "v", hash="md5")
     with pytest.raises(ValueError):
         hll_estimate([(0, 1), (0, 2)])
+
+
+# ---------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------
+
+from collections import Counter
+
+from mergeaddressesandbuildings_spark.operators.sketches import (
+    cms_counters, cms_point_estimate,
+)
+
+
+def py_cms_hash(i: int, s: str) -> int:
+    return int(hashlib.sha256(f"cms{i}|{s}".encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def cms_rows():
+    # zipf-ish: item j appears ~ 3000/(j+1) times
+    out = []
+    for j in range(40):
+        out += [("g0", f"item{j}", 2)] * (3000 // (j + 1))
+    return out
+
+
+def test_cms_sha256_matches_python_oracle(spark, cms_rows):
+    d, w = 4, 32
+    df = spark.createDataFrame(cms_rows, ["k", "v", "wt"])
+    got = {(r["k"], r["row_i"], r["col"]): r["cnt"]
+           for r in cms_counters(df, ["k"], "v", weight_col="wt",
+                                 d=d, w=w, hash="sha256").collect()}
+    brute = Counter()
+    for k, v, wt in cms_rows:
+        for i in range(d):
+            brute[(k, i, py_cms_hash(i, v) % w)] += wt
+    assert got == dict(brute)
+
+
+def test_cms_never_underestimates_and_bounds(spark, cms_rows):
+    d, w = 4, 64
+    df = spark.createDataFrame(cms_rows, ["k", "v", "wt"])
+    counters = [(r["row_i"], r["col"], r["cnt"])
+                for r in cms_counters(df, [], "v", weight_col="wt",
+                                      d=d, w=w, hash="sha256").collect()]
+    truth = Counter()
+    total = 0
+    for _, v, wt in cms_rows:
+        truth[v] += wt
+        total += wt
+    import math
+    eps_n = math.e / w * total
+    over_bound_ok = 0
+    for v, t in truth.items():
+        est = cms_point_estimate(counters, v, d=d, w=w)
+        assert est >= t, (v, est, t)          # CMS never underestimates
+        if est <= t + eps_n:
+            over_bound_ok += 1
+    # the eps*N bound holds with prob 1-(1/2)^d per query; with d=4
+    # and 40 queries, allow a couple of exceedances
+    assert over_bound_ok >= len(truth) - 2
+    # each row's counters sum exactly to the total weight (exactness
+    # of the counter matrix, not just the estimate)
+    row_sums = Counter()
+    for r, _, c in counters:
+        row_sums[r] += c
+    assert set(row_sums.values()) == {total}
+
+
+def test_cms_parallelism_invariant_and_modes(spark, cms_rows):
+    df = spark.createDataFrame(cms_rows, ["k", "v", "wt"])
+    a = sorted(map(tuple, cms_counters(
+        df.coalesce(1), ["k"], "v", d=3, w=16).collect()))
+    b = sorted(map(tuple, cms_counters(
+        df.repartition(8), ["k"], "v", d=3, w=16).collect()))
+    assert a == b
+    assert all(0 <= col < 16 and 0 <= ri < 3 for _, ri, col, _ in a)
+    # unweighted counts sum to the row count per hash row
+    n = len(cms_rows)
+    sums = Counter()
+    for _, ri, _, cnt in a:
+        sums[ri] += cnt
+    assert set(sums.values()) == {n}
+
+
+def test_cms_guards(spark, cms_rows):
+    df = spark.createDataFrame(cms_rows[:5], ["k", "v", "wt"])
+    with pytest.raises(ValueError):
+        cms_counters(df, [], "v", d=0)
+    with pytest.raises(ValueError):
+        cms_counters(df, [], "v", w=1)
+    with pytest.raises(ValueError):
+        cms_counters(df, [], "v", hash="md5")
+    with pytest.raises(ValueError):
+        cms_point_estimate([], "x", hash="xxhash64")
