@@ -2988,6 +2988,44 @@ def cms_part_quantity(spark, sf_dir):
 
 
 @register(
+    "bloom_filtered_orders",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_acctbal > 9000)
+    """,
+)
+def bloom_filtered_orders(spark, sf_dir):
+    """Bloom-pruned semi join (operators/bloomjoin.py): orders of
+    high-balance customers, with the probe side pruned by a Bloom
+    bitmap over the build keys BEFORE the exact semi join — the
+    explicit form of Spark's runtime bloom filter / Iceberg bloom
+    index. Bloom error is one-sided (false positives only), so the
+    result is bit-identical to the plain semi join the oracle runs —
+    correctness does not depend on the hash, which lets this query
+    pair the xxhash64 AT-SCALE mode with an exact oracle (the prune's
+    effect shows up in plan shape + bloomjoin tests, not the rows)."""
+    from mergeaddressesandbuildings_spark.operators import bloomjoin
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return bloomjoin.bloom_semi_join(
+        orders, cust, "o_custkey", "c_custkey",
+        m_bits=1 << 16, k=4, hash="xxhash64",
+    ).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        _CENTS("o_totalprice").alias("total_cents"),
+    )
+
+
+@register(
     "event_funnel",
     """
     WITH e AS (
@@ -3440,6 +3478,11 @@ _DRIVER_WINDOW_TAIL = [
                                   # array/aggregate text kernel stays
                                   # in window via doc_ngram_coverage
                                   # (displaced for cms_part_quantity)
+    "ann_cosine_topk",            # hash-green r2 (unchanged oracle);
+                                  # brute cosine fold stays in window
+                                  # via ann_cosine_ivf +
+                                  # embedding_near_dup_lsh (displaced
+                                  # for bloom_filtered_orders)
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
     "segment_revenue",            # agg+join: nation joins in window
