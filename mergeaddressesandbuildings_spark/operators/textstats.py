@@ -246,3 +246,71 @@ def quality_filter(docs: DataFrame) -> DataFrame:
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def pmi_pairs(docs: DataFrame, min_count: int = 5,
+              threshold_log2: int = 3) -> DataFrame:
+    """Pointwise-mutual-information collocations over the corpus's
+    adjacent word pairs, with the PMI threshold applied as an EXACT
+    INTEGER cross-multiplication so the result is engine-exact:
+
+        pmi = log2(c_xy * N / (c_x * c_y)) > t
+          <=> c_xy * N > 2^t * c_x * c_y          (t integer)
+
+    — no log, no division, no float. c_x / c_y are the word's counts
+    as LEFT / RIGHT member over the bigram corpus (derived by
+    re-aggregating the bigram counts, so the corpus is tokenized and
+    shuffled ONCE), N is the total bigram count.
+
+    Plan at 10^12 docs: one explode + hash agg for the bigram counts,
+    two small re-aggs of that table, two equi-joins back, one bounded
+    1-number collect (N — the lm.py corpus-constant pattern). Integer
+    overflow bound: c_xy * N <= N^2 must fit a signed 64-bit, i.e.
+    N < 3e9 bigrams per run; beyond that, run per-shard or switch the
+    comparison to the double log form (the threshold then inherits
+    ~1 ulp fuzz, which only matters to the oracle pairing, not the
+    collocation quality).
+
+    → (w1, w2, c_xy, c_x, c_y, n_bigrams), all counts BIGINT.
+    """
+    if threshold_log2 < 0:
+        raise ValueError("threshold_log2 must be a non-negative integer")
+    ws = F.filter(F.split(F.lower(F.col("text")), " "),
+                  lambda t: t != "")
+    # guard: sequence(2, size) DESCENDS for docs under 2 words
+    # (doc_dedupe.shingles's short-doc rule) — emit no bigrams instead
+    grams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(ws)),
+            lambda i: F.struct(
+                F.element_at(ws, i - 1).alias("w1"),
+                F.element_at(ws, i).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        docs.select(F.explode(grams).alias("g"))
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count("*").alias("c_xy"))
+    )
+    # bounded metadata: ONE number (total bigrams), embedded as a
+    # literal so the plan carries no constant-key join
+    n_bigrams = big.agg(F.sum("c_xy")).collect()[0][0] or 0
+    left = big.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    right = big.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
+    return (
+        big.join(left, "w1").join(right, "w2")
+        .filter(
+            (F.col("c_xy") >= min_count)
+            & (F.col("c_xy") * F.lit(n_bigrams)
+               > F.lit(1 << threshold_log2) * F.col("c_x") * F.col("c_y"))
+        )
+        .select(
+            "w1", "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.col("c_x").cast("long").alias("c_x"),
+            F.col("c_y").cast("long").alias("c_y"),
+            F.lit(n_bigrams).cast("long").alias("n_bigrams"),
+        )
+    )

@@ -2988,6 +2988,43 @@ def cms_part_quantity(spark, sf_dir):
 
 
 @register(
+    "pmi_collocations",
+    """
+    WITH w AS (
+      SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT ws[i - 1] AS w1, ws[i] AS w2
+      FROM (SELECT ws, unnest(range(2, len(ws) + 1)) AS i FROM w)
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c_xy FROM g GROUP BY w1, w2),
+    l AS (SELECT w1, SUM(c_xy) AS c_x FROM big GROUP BY w1),
+    r AS (SELECT w2, SUM(c_xy) AS c_y FROM big GROUP BY w2),
+    n AS (SELECT SUM(c_xy) AS nb FROM big)
+    SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y,
+           CAST(nb AS BIGINT) AS n_bigrams
+    FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+    WHERE c_xy >= 20 AND c_xy * nb > c_x * c_y
+    """,
+)
+def pmi_collocations(spark, sf_dir):
+    """PMI collocation mining (operators/textstats.py pmi_pairs): the
+    classic corpus-statistics signal for multiword expressions, with
+    the PMI > t(=0 bits) threshold applied as the exact integer
+    cross-multiplication c_xy*N > 2^t*c_x*c_y — no log, no float, so
+    the filtered pair set is engine-exact and driver-hashable. One
+    tokenize+explode shuffle builds the bigram counts; left/right
+    marginals re-aggregate that table (the corpus is never tokenized
+    twice); N is a bounded 1-number collect."""
+    from mergeaddressesandbuildings_spark.operators import textstats
+
+    return textstats.pmi_pairs(
+        _t(spark, sf_dir, "documents"), min_count=20, threshold_log2=0)
+
+
+@register(
     "bloom_filtered_orders",
     """
     SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
@@ -3483,6 +3520,10 @@ _DRIVER_WINDOW_TAIL = [
                                   # via ann_cosine_ivf +
                                   # embedding_near_dup_lsh (displaced
                                   # for bloom_filtered_orders)
+    "simhash_near_pairs",         # hash-green r2 (unchanged oracle);
+                                  # banded/blocked near-dup join stays
+                                  # in window via minhash_lsh_pairs
+                                  # (displaced for pmi_collocations)
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
     "segment_revenue",            # agg+join: nation joins in window
