@@ -85,3 +85,79 @@ def token_budget_sample(df: DataFrame, budget: int, tokens_col: str,
         out.withColumn("cum_before", cum_before)
         .filter(F.col("cum_before") < budget)
     )
+
+
+def apportion_budget(df: DataFrame, budget: int, tokens_col: str,
+                     strat: Column, key: Column,
+                     prefix: str = "budget|") -> DataFrame:
+    """Proportional data-mixing: split one GLOBAL token budget across
+    sources by the largest-remainder (Hamilton) method, then draw each
+    source's quota deterministically.
+
+    ``token_budget_sample`` pins per-source budgets you choose by
+    hand; this derives them from the corpus itself — source s with
+    n_s tokens of N total gets
+
+        quota_s = floor(B * n_s / N)  (+1 token for each of the
+                  r = B - sum(floor quotas) sources with the largest
+                  remainder (B * n_s) mod N, ties broken by source)
+
+    so sum(quota_s) == B EXACTLY (Hamilton's invariant: the floors
+    sum to B - r with 0 <= r < S) and every step is integer
+    arithmetic — engine-exact, no float proportions, oracle-pairable.
+    Documents are then drawn per source in stable hash order until
+    the quota is exhausted (the same greedy-prefix rule as
+    ``token_budget_sample``: kept iff ``cum_before < quota``).
+
+    Scale shape: one map-side-combinable agg to S source totals, the
+    Hamilton arithmetic windowed over that S-row table (S is at most
+    thousands — the single-partition window there is bounded
+    metadata, like lm.py's corpus constants), a broadcast join of
+    quotas back to the scan, and ONE window shuffle keyed by source
+    for the prefix sums. Overflow: B * n_s must fit a signed 64-bit —
+    keep B * N < 2^63 (apportion in kilotoken units beyond that).
+
+    → input columns + ``quota``, ``sort_hash``, ``cum_before``,
+    filtered to the drawn documents.
+    """
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    from pyspark.sql import Window
+
+    b = F.lit(budget).cast("long")
+    totals = df.groupBy(strat.alias("__src")).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("__n"))
+    w_all = Window.partitionBy()  # S rows: bounded
+    w_rem = Window.orderBy(F.col("__rem").desc(), F.col("__src").asc())
+    quotas = (
+        totals
+        .withColumn("__ntot", F.sum("__n").over(w_all).cast("long"))
+        .withColumn("__b", b)
+        # integer floor division (DIV) + pmod, NOT double /: (B*n)/N
+        # as doubles is inexact above 2^53. NB "__ntot", not "__N":
+        # Spark resolves column names case-insensitively, so "__N"
+        # would silently REPLACE "__n" in withColumn
+        .withColumn("__floor", F.expr("__b * __n DIV __ntot"))
+        .withColumn("__rem", F.expr("pmod(__b * __n, __ntot)"))
+        .withColumn("__r", (b - F.sum("__floor").over(w_all)).cast("long"))
+        .withColumn("__rank", F.row_number().over(w_rem))
+        .withColumn(
+            "quota",
+            (F.col("__floor")
+             + F.when(F.col("__rank") <= F.col("__r"), 1).otherwise(0))
+            .cast("long"))
+        .select("__src", "quota")
+    )
+    h = ids_sql.sha256_hash60_expr(key.cast("string"), prefix=prefix)
+    w = Window.partitionBy(strat).orderBy(F.asc("sort_hash"), key.asc())
+    out = (
+        df.join(F.broadcast(quotas), on=strat == F.col("__src"))
+        .drop("__src")
+        .withColumn("sort_hash", h)
+    )
+    cum_before = (F.sum(F.col(tokens_col)).over(w)
+                  - F.col(tokens_col)).cast("long")
+    return (
+        out.withColumn("cum_before", cum_before)
+        .filter(F.col("cum_before") < F.col("quota"))
+    )

@@ -2988,6 +2988,68 @@ def cms_part_quantity(spark, sf_dir):
 
 
 @register(
+    "doc_budget_apportion",
+    """
+    WITH t AS (SELECT source AS src, SUM(n_chars) AS n
+               FROM documents GROUP BY source),
+    q AS (
+      SELECT src, n,
+             (30000 * n) // SUM(n) OVER () AS fl,
+             (30000 * n) % SUM(n) OVER () AS rem
+      FROM t
+    ),
+    q2 AS (
+      SELECT src, fl, rem,
+             30000 - SUM(fl) OVER () AS r,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, src ASC) AS rk
+      FROM q
+    ),
+    quotas AS (SELECT src,
+                      CAST(fl + CASE WHEN rk <= r THEN 1 ELSE 0 END
+                           AS BIGINT) AS quota
+               FROM q2),
+    h AS (
+      SELECT doc_id, source, n_chars,
+             CAST('0x' || substr(sha256('budget|' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS sort_hash
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_chars, sort_hash,
+             CAST(SUM(n_chars) OVER (PARTITION BY source
+                                     ORDER BY sort_hash, doc_id)
+                  - n_chars AS BIGINT) AS cum_before
+      FROM h
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.source,
+           CAST(c.n_chars AS BIGINT) AS n_chars, quotas.quota,
+           c.sort_hash, c.cum_before
+    FROM c JOIN quotas ON c.source = quotas.src
+    WHERE c.cum_before < quotas.quota
+    """,
+)
+def doc_budget_apportion(spark, sf_dir):
+    """Proportional data-mixing (operators/sampling.py
+    apportion_budget): ONE global 30k-token budget split across
+    sources by the largest-remainder (Hamilton) method — quota_s =
+    floor(B*n_s/N) plus +1 seats by remainder rank, sum(quota)==B
+    exactly — then drawn per source in stable hash order. Every step
+    is integer arithmetic (DIV/pmod, no float shares), so quotas and
+    the drawn set are engine-exact. Scale shape: one map-side agg to
+    S rows, Hamilton windowed over those S rows (bounded), broadcast
+    quota join back, one window shuffle for the prefix sums."""
+    from mergeaddressesandbuildings_spark.operators import sampling
+
+    out = sampling.apportion_budget(
+        _t(spark, sf_dir, "documents"), budget=30000,
+        tokens_col="n_chars", strat=F.col("source"), key=F.col("doc_id"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "quota", "sort_hash", "cum_before")
+
+
+@register(
     "pmi_collocations",
     """
     WITH w AS (
@@ -3524,6 +3586,12 @@ _DRIVER_WINDOW_TAIL = [
                                   # banded/blocked near-dup join stays
                                   # in window via minhash_lsh_pairs
                                   # (displaced for pmi_collocations)
+    "doc_stratified_sample",      # hash-green r2 (unchanged oracle);
+                                  # sha-threshold map-side kernel
+                                  # stays in window via doc_shard_assign;
+                                  # its windowed-prefix sibling is the
+                                  # displacing query itself (displaced
+                                  # for doc_budget_apportion)
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
     "segment_revenue",            # agg+join: nation joins in window
