@@ -60,6 +60,11 @@ HEADLINE = [
     "doc_ngram_coverage",
     "order_price_quantiles",
     "event_peak_concurrency",
+    # round-3 part-3 additions
+    "cms_part_quantity",
+    "bloom_filtered_orders",
+    "pmi_collocations",
+    "doc_budget_apportion",
     # spatial_eps_clusters is deliberately NOT benched: at sf0.1 the
     # fixed 251x241 synthetic grid saturates (mean degree ~28 -> one
     # giant component), which times percolation physics rather than

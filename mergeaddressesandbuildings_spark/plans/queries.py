@@ -2988,6 +2988,37 @@ def cms_part_quantity(spark, sf_dir):
 
 
 @register(
+    "salted_order_join",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+           c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def salted_order_join(spark, sf_dir):
+    """Salted fact⋈dim equi-join (operators/skewjoin.py): the fact
+    side's keys are spread over 8 salt buckets (deterministic
+    pmod(xxhash64(row id), 8) — retry-stable, no rand()) and the dim
+    side replicated 8x, so a hot key occupies 8 reducers instead of
+    one. The salt is invisible in the result — bit-identical to the
+    plain join the oracle runs; the routing spread and the
+    exact-equality property are asserted in tests/test_skewjoin.py.
+    For dims under the broadcast threshold, broadcast_nation_join is
+    the better plan; this targets the medium-dim skewed-fact case."""
+    from mergeaddressesandbuildings_spark.operators import skewjoin
+
+    out = skewjoin.salted_equi_join(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "o_custkey", "c_custkey", salt_col="o_orderkey", salt_factor=8)
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        _CENTS("o_totalprice").alias("total_cents"),
+        "c_mktsegment")
+
+
+@register(
     "doc_budget_apportion",
     """
     WITH t AS (SELECT source AS src, SUM(n_chars) AS n
@@ -3573,6 +3604,14 @@ def user_week_gapfill(spark, sf_dir):
 
 
 _DRIVER_WINDOW_TAIL = [
+    "salted_order_join",          # parked on arrival: its RESULT kernel
+                                  # (fact-dim equi-join) is window-covered
+                                  # by nation_supplier_stats +
+                                  # broadcast_nation_join; the salting is
+                                  # plan-layout behaviour that the driver
+                                  # hash can't see — pytest asserts it
+                                  # (test_skewjoin) and the sf0.01 oracle
+                                  # rehearsal keeps it continuously checked
     "doc_repetition_stats",       # hash-green r2 (unchanged oracle);
                                   # array/aggregate text kernel stays
                                   # in window via doc_ngram_coverage
