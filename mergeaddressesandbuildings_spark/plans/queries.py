@@ -2988,6 +2988,36 @@ def cms_part_quantity(spark, sf_dir):
 
 
 @register(
+    "snapshot_time_travel",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def snapshot_time_travel(spark, sf_dir):
+    """Snapshot-table time travel (sources/snapshots.py): commit the
+    even documents as snapshot 1, the odd ones as snapshot 2, then
+    read the table AS OF snapshot 1 — the oracle is the even half,
+    so a hash match proves the manifest chain isolates snapshots
+    (the s2 data files exist on disk but must stay invisible).
+    Iceberg-spec shape: immutable data files + per-snapshot manifest
+    + atomically swapped current pointer; readers plan over the
+    frozen file list, never a directory listing."""
+    import tempfile
+
+    from mergeaddressesandbuildings_spark.sources import snapshots as S
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        F.col("n_chars").cast("long").alias("n_chars"))
+    tdir = tempfile.mkdtemp(prefix="snap_tbl_")
+    S.write_snapshot(docs.filter(F.col("doc_id") % 2 == 0), tdir)
+    S.write_snapshot(docs.filter(F.col("doc_id") % 2 != 0), tdir)
+    return S.read_snapshot(spark, tdir, snapshot_id=1)
+
+
+@register(
     "salted_order_join",
     """
     SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
@@ -3631,6 +3661,18 @@ _DRIVER_WINDOW_TAIL = [
                                   # its windowed-prefix sibling is the
                                   # displacing query itself (displaced
                                   # for doc_budget_apportion)
+    "url_stream_latest",          # not yet driver-run, but its
+                                  # stateful-streaming kernel is
+                                  # DOUBLE-covered in window
+                                  # (doc_stream_dedupe:
+                                  # applyInPandasWithState;
+                                  # events_stream_tumbling: watermark
+                                  # windows); pytest test_url_stream +
+                                  # the sf0.01 oracle rehearsal keep it
+                                  # checked (displaced for
+                                  # snapshot_time_travel, whose
+                                  # manifest-isolation semantics are
+                                  # new surface with no in-window twin)
     "priority_conditional_agg",   # agg family: pricing_summary in window
     "order_year_matrix",          # agg pivot: covered by agg family
     "segment_revenue",            # agg+join: nation joins in window

@@ -1,0 +1,201 @@
+"""Snapshot-versioned parquet tables: append/overwrite with time
+travel and incremental (changes-between-snapshots) reads.
+
+BASELINE.json frames the engine over Iceberg tables; the Iceberg
+runtime jars are absent in this sandbox (sources/catalog.py gates
+them), so this module implements the part of the table format the
+pipeline actually leans on — SNAPSHOT ISOLATION — with the same
+public design as the Iceberg spec (a chain of immutable manifest
+files naming immutable data files, plus one atomically-swapped
+current pointer):
+
+- data files are immutable: each commit writes its rows under
+  ``data/s<id>/`` and never touches other directories;
+- a manifest ``snap/<id>.json`` freezes the FULL file list of that
+  snapshot (append = parent's files + the new directory's; overwrite
+  = just the new directory's), the operation, the parent id, the row
+  count, and the schema JSON;
+- ``snap/_current`` holds the live snapshot id and is replaced with
+  ``os.replace`` (atomic on POSIX) — a reader never observes a half
+  commit: it either resolves the old pointer or the new one.
+  Single-writer-at-a-time is assumed (Iceberg gets multi-writer via
+  an optimistic catalog swap; a catalog is out of scope here and the
+  assumption is asserted by commit-id collision detection);
+- readers NEVER list data directories (at 10^12 rows listing is the
+  bottleneck): the manifest is the source of truth, so a read plans
+  directly over the frozen file list — crashed half-written commits
+  leave orphan files that are invisible, exactly like Iceberg.
+
+The WRITER lists exactly one directory (the one it just wrote) to
+freeze its file names; on a real deployment that call goes through
+the Hadoop FileSystem API / a manifest committer instead of
+``os.listdir`` — the local-FS calls here are the sandbox binding of
+that interface, same as sink.py's manifest paths.
+
+Time travel (``read_snapshot(..., snapshot_id=k)``) reads any
+retained snapshot; ``read_changes(a, b)`` reads only rows added in
+snapshots (a, b] — the incremental-consumption primitive a
+downstream training-data pipeline uses to process each new corpus
+drop exactly once (append-only chains; overwrite breaks the delta
+semantics and is rejected).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+__all__ = ["write_snapshot", "read_snapshot", "read_changes",
+           "snapshot_log", "current_snapshot_id"]
+
+
+def _snap_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "snap")
+
+
+def _manifest_path(table_dir: str, sid: int) -> str:
+    return os.path.join(_snap_dir(table_dir), f"{sid}.json")
+
+
+def _current_path(table_dir: str) -> str:
+    return os.path.join(_snap_dir(table_dir), "_current")
+
+
+def current_snapshot_id(table_dir: str) -> int | None:
+    """Live snapshot id, or None for an empty/uninitialised table."""
+    try:
+        with open(_current_path(table_dir)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _load_manifest(table_dir: str, sid: int) -> dict:
+    with open(_manifest_path(table_dir, sid)) as f:
+        return json.load(f)
+
+
+def write_snapshot(df: DataFrame, table_dir: str,
+                   mode: str = "append") -> dict:
+    """Commit ``df`` as a new snapshot; returns the manifest dict.
+
+    ``mode="append"`` adds to the current file list;
+    ``mode="overwrite"`` replaces it (old data files stay on disk and
+    remain readable through their snapshots — time travel over an
+    overwrite works).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    parent = current_snapshot_id(table_dir)
+    sid = 1 if parent is None else parent + 1
+    mpath = _manifest_path(table_dir, sid)
+    if os.path.exists(mpath):
+        raise RuntimeError(
+            f"snapshot {sid} already exists — concurrent writer detected "
+            f"(this layer is single-writer; serialize commits upstream)")
+    # unique dir per ATTEMPT (not per snapshot id): a crashed commit's
+    # orphan directory must never collide with — or be absorbed by —
+    # the retry; only the manifest makes files visible
+    import uuid
+
+    data_dir = os.path.join(table_dir, "data",
+                            f"s{sid}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("error").parquet(data_dir)
+    spark = df.sparkSession
+    new_files = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".parquet"))
+    n_new = spark.read.parquet(data_dir).count()
+    if mode == "append" and parent is not None:
+        pm = _load_manifest(table_dir, parent)
+        files = pm["files"] + new_files
+        n_rows = pm["n_rows"] + n_new
+    else:
+        files, n_rows = new_files, n_new
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "operation": mode,
+        "files": files,
+        "added_files": new_files,
+        "n_rows": n_rows,
+        "n_added_rows": n_new,
+        "schema": json.loads(df.schema.json()),
+    }
+    os.makedirs(_snap_dir(table_dir), exist_ok=True)
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    tmp = _current_path(table_dir) + f".tmp.{sid}"
+    with open(tmp, "w") as f:
+        f.write(str(sid))
+    os.replace(tmp, _current_path(table_dir))  # atomic commit point
+    return manifest
+
+
+def _resolve(table_dir: str, snapshot_id: int | None) -> dict:
+    sid = snapshot_id if snapshot_id is not None \
+        else current_snapshot_id(table_dir)
+    if sid is None:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    try:
+        return _load_manifest(table_dir, sid)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"snapshot {sid} not found at {table_dir} "
+            f"(current is {current_snapshot_id(table_dir)})") from None
+
+
+def read_snapshot(spark: SparkSession, table_dir: str,
+                  snapshot_id: int | None = None) -> DataFrame:
+    """Table state AS OF a snapshot (default: current). Plans straight
+    over the manifest's frozen file list — no directory listing, no
+    visibility of in-flight or orphaned files."""
+    m = _resolve(table_dir, snapshot_id)
+    if not m["files"]:
+        return spark.createDataFrame(
+            [], schema=StructType.fromJson(m["schema"]))
+    return spark.read.parquet(*m["files"])
+
+
+def read_changes(spark: SparkSession, table_dir: str,
+                 from_id: int, to_id: int) -> DataFrame:
+    """Rows ADDED in snapshots (from_id, to_id] — exactly-once
+    incremental consumption over an append-only chain. Raises if any
+    snapshot in the range is an overwrite (its delta is not
+    expressible as added files)."""
+    if to_id < from_id:
+        raise ValueError("to_id must be >= from_id")
+    added: list[str] = []
+    for sid in range(from_id + 1, to_id + 1):
+        m = _resolve(table_dir, sid)
+        if m["operation"] != "append":
+            raise ValueError(
+                f"snapshot {sid} is {m['operation']!r}: changes-read is "
+                f"only defined over append-only ranges")
+        added += m["added_files"]
+    if not added:
+        m = _resolve(table_dir, to_id)
+        return spark.createDataFrame(
+            [], schema=StructType.fromJson(m["schema"]))
+    return spark.read.parquet(*added)
+
+
+def snapshot_log(table_dir: str) -> list[dict]:
+    """Commit history, oldest first: one summary dict per retained
+    snapshot (id, parent, operation, row counts)."""
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        return []
+    out = []
+    for sid in range(1, cur + 1):
+        try:
+            m = _load_manifest(table_dir, sid)
+        except FileNotFoundError:
+            continue  # expired/absent ids stay out of the log
+        out.append({k: m[k] for k in
+                    ("snapshot_id", "parent_id", "operation",
+                     "n_rows", "n_added_rows")})
+    return out

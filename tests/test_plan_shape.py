@@ -67,7 +67,7 @@ _BRUTE_FORCE_OK = {
 _EAGER = {"events_stream_tumbling", "doc_stream_dedupe",
           "events_stream_join", "doc_link_pagerank",
           "embedding_kmeans_clusters", "spatial_eps_clusters",
-          "bpe_merges",
+          "bpe_merges", "snapshot_time_travel",
           "doc_dup_clusters", "merge_assignments", "merge_output_sets",
           "merge_tiles", "merge_holes"}
 

@@ -1,0 +1,95 @@
+"""Snapshot table layer (sources/snapshots.py): append/overwrite
+chains, time travel, incremental changes-reads, commit atomicity
+(orphan files invisible), schema freeze, concurrent-writer guard."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from mergeaddressesandbuildings_spark.sources import snapshots as S
+
+
+def rows_of(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_append_chain_and_time_travel(spark, tdir):
+    a = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    b = spark.createDataFrame([(3, "c")], ["id", "v"])
+    m1 = S.write_snapshot(a, tdir)
+    m2 = S.write_snapshot(b, tdir)
+    assert (m1["snapshot_id"], m2["snapshot_id"]) == (1, 2)
+    assert m2["parent_id"] == 1 and m2["n_rows"] == 3
+    assert rows_of(S.read_snapshot(spark, tdir)) == \
+        [(1, "a"), (2, "b"), (3, "c")]
+    assert rows_of(S.read_snapshot(spark, tdir, snapshot_id=1)) == \
+        [(1, "a"), (2, "b")]
+
+
+def test_overwrite_keeps_history(spark, tdir):
+    S.write_snapshot(spark.createDataFrame([(1,)], ["id"]), tdir)
+    S.write_snapshot(spark.createDataFrame([(9,)], ["id"]),
+                     tdir, mode="overwrite")
+    assert rows_of(S.read_snapshot(spark, tdir)) == [(9,)]
+    assert rows_of(S.read_snapshot(spark, tdir, 1)) == [(1,)]
+    log = S.snapshot_log(tdir)
+    assert [e["operation"] for e in log] == ["append", "overwrite"]
+    assert [e["n_rows"] for e in log] == [1, 1]
+
+
+def test_read_changes_incremental(spark, tdir):
+    for i in range(3):
+        S.write_snapshot(
+            spark.createDataFrame([(i * 10 + j,) for j in range(2)],
+                                  ["id"]), tdir)
+    assert rows_of(S.read_changes(spark, tdir, 1, 3)) == \
+        [(10,), (11,), (20,), (21,)]
+    assert S.read_changes(spark, tdir, 2, 2).count() == 0
+    S.write_snapshot(spark.createDataFrame([(99,)], ["id"]),
+                     tdir, mode="overwrite")
+    with pytest.raises(ValueError, match="overwrite"):
+        S.read_changes(spark, tdir, 1, 4)
+
+
+def test_orphan_files_invisible_and_retry_clean(spark, tdir):
+    S.write_snapshot(spark.createDataFrame([(1,)], ["id"]), tdir)
+    # simulate a crashed half-commit: data written, no manifest swap
+    crash_dir = os.path.join(tdir, "data", "s2-deadbeef")
+    spark.createDataFrame([(666,)], ["id"]).write.parquet(crash_dir)
+    assert rows_of(S.read_snapshot(spark, tdir)) == [(1,)]
+    # the retry commits cleanly into its own attempt dir and the
+    # orphan rows stay invisible forever
+    S.write_snapshot(spark.createDataFrame([(2,)], ["id"]), tdir)
+    assert rows_of(S.read_snapshot(spark, tdir)) == [(1,), (2,)]
+
+
+def test_concurrent_writer_guard(spark, tdir):
+    S.write_snapshot(spark.createDataFrame([(1,)], ["id"]), tdir)
+    # a racing writer already committed manifest 2
+    with open(os.path.join(tdir, "snap", "2.json"), "w") as f:
+        json.dump({}, f)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        S.write_snapshot(spark.createDataFrame([(2,)], ["id"]), tdir)
+
+
+def test_missing_snapshot_errors(spark, tdir):
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot(spark, tdir)
+    S.write_snapshot(spark.createDataFrame([(1,)], ["id"]), tdir)
+    with pytest.raises(FileNotFoundError, match="snapshot 7"):
+        S.read_snapshot(spark, tdir, 7)
+
+
+def test_schema_frozen_per_snapshot(spark, tdir):
+    S.write_snapshot(spark.createDataFrame([(1, "x")], ["id", "v"]), tdir)
+    m = S._load_manifest(tdir, 1)
+    names = [f["name"] for f in m["schema"]["fields"]]
+    assert names == ["id", "v"]
