@@ -2988,6 +2988,50 @@ def cms_part_quantity(spark, sf_dir):
 
 
 @register(
+    "order_price_bands",
+    """
+    WITH bands(band_id, lo, hi) AS (
+      VALUES (0, 0, 5000000), (1, 2500000, 10000000),
+             (2, 5000000, 20000000), (3, 10000000, 40000000),
+             (4, 20000000, 60000000)
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(band_id AS INT) AS band_id,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders JOIN bands
+      ON lo <= CAST(ROUND(o_totalprice * 100) AS BIGINT)
+     AND CAST(ROUND(o_totalprice * 100) AS BIGINT) < hi
+    """,
+)
+def order_price_bands(spark, sf_dir):
+    """Bucketized range join (operators/rangejoin.py): each order
+    matched to every OVERLAPPING price band via lo <= cents < hi —
+    a containment theta join that Spark would otherwise execute as
+    BroadcastNestedLoopJoin, here routed through fixed-width bucket
+    ids so it reaches Catalyst as an equi-join (candidates only where
+    point and range share a bucket; the exact predicate filters
+    inside the hash join). The oracle runs the plain theta join —
+    buckets only route, so results are bit-identical. Wide ranges
+    abort loudly (raise_error) instead of exploding the shuffle."""
+    from mergeaddressesandbuildings_spark.operators import rangejoin
+
+    bands = spark.createDataFrame(
+        [(0, 0, 5_000_000), (1, 2_500_000, 10_000_000),
+         (2, 5_000_000, 20_000_000), (3, 10_000_000, 40_000_000),
+         (4, 20_000_000, 60_000_000)],
+        ["band_id", "lo", "hi"])
+    pts = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        _CENTS("o_totalprice").alias("total_cents"))
+    out = rangejoin.point_in_range_join(
+        pts, bands, "total_cents", "lo", "hi",
+        bucket_width=2_500_000, max_buckets_per_range=64)
+    return out.select("o_orderkey",
+                      F.col("band_id").cast("int").alias("band_id"),
+                      "total_cents")
+
+
+@register(
     "snapshot_time_travel",
     """
     SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
@@ -3661,6 +3705,14 @@ _DRIVER_WINDOW_TAIL = [
                                   # its windowed-prefix sibling is the
                                   # displacing query itself (displaced
                                   # for doc_budget_apportion)
+    "event_value_trend",          # rolling-window kernel DOUBLE-covered
+                                  # in window (event_value_anomalies:
+                                  # rolling mean/std flags; user_week_gapfill:
+                                  # densified window walk); pytest +
+                                  # sf0.01 oracle rehearsal keep it
+                                  # checked (displaced for
+                                  # order_price_bands, a join kernel
+                                  # with no in-window twin)
     "url_stream_latest",          # not yet driver-run, but its
                                   # stateful-streaming kernel is
                                   # DOUBLE-covered in window
