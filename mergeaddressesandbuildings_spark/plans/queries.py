@@ -1533,6 +1533,30 @@ _MORTON_ORACLE = f"""
 """
 
 
+@register("hilbert_cells")  # golden oracle attached below (ORACLE.update)
+def hilbert_cells(spark, sf_dir):
+    """T1 locality sibling: order-12 HILBERT index of the same derived
+    points as morton_cells, via the pure F.aggregate column fold
+    (functions/hilbert.py hilbert_expr — zero Python, whole-stage
+    codegen). Hilbert's unit-step adjacency makes it the better
+    write-clustering sort key (row-group min/max pruning for bbox
+    scans); Morton remains the join/tile key (prefix nesting). The
+    oracle is a committed golden from an independent scalar xy2d
+    (tools/make_goldens.py hilbert_goldens); numpy/JVM/scalar
+    tri-identity is asserted in tests/test_hilbert.py."""
+    from mergeaddressesandbuildings_spark.functions import cells_sql, hilbert
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        ((F.col("c_custkey") % 17999).cast("double") / 100.0 - 89.995).alias("lat"),
+        ((F.col("c_custkey") % 35999).cast("double") / 100.0 - 179.995).alias("lon"),
+    )
+    x, y = cells_sql.xy_expr(F.col("lat"), F.col("lon"), 12)
+    return pts.select(
+        "c_custkey", hilbert.hilbert_expr(x, y, 12).alias("cell"))
+
+
 @register("morton_cells", _MORTON_ORACLE)
 def morton_cells(spark, sf_dir):
     """T1: the level-12 Morton cell encode as pure column expressions,
@@ -1739,6 +1763,7 @@ def _golden_sql(name: str, cols: str = "*") -> str:
 
 
 ORACLE.update({
+    "hilbert_cells": _golden_sql("hilbert_cells", "c_custkey, cell"),
     "merge_assignments": _golden_sql(
         "merge_assignments",
         "addr_id, url, CAST(record_idx AS INTEGER) AS record_idx, "
@@ -3756,6 +3781,12 @@ _DRIVER_WINDOW_TAIL = [
     "raster_sample_customers",    # raster family keeps rasterize_customers
                                   # + raster_vector_hotcells in window
                                   # (displaced for doc_ngram_coverage)
+    "hilbert_cells",              # parked on arrival: JVM/numpy/scalar
+                                  # tri-identity is pytest-proven
+                                  # (test_hilbert), the golden rehearsal
+                                  # runs at sf0.01, and the cell-encode
+                                  # family keeps raster_vector_hotcells
+                                  # in window
     "morton_cells",               # bit-spread cell encode: rasterize_
                                   # customers' oracle embeds the same
                                   # spread SQL; r1 driver green

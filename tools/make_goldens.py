@@ -511,6 +511,46 @@ def hull_goldens() -> dict[str, pa.Table]:
     })}
 
 
+def hilbert_goldens() -> dict[str, pa.Table]:
+    """hilbert_cells: order-12 Hilbert index of the morton_cells point
+    derivation, computed with a SCALAR rotate-and-accumulate loop (the
+    textbook xy2d; independent of both the engine's vectorized numpy
+    kernel and its F.aggregate JVM twin)."""
+    import math
+
+    def xy2d(x: int, y: int, order: int) -> int:
+        d = 0
+        s = 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    cust = pq.read_table(os.path.join(SF_DIR, "customer.parquet"),
+                         columns=["c_custkey"])
+    n = 1 << 12
+    keys, cells = [], []
+    for ck in cust.column("c_custkey").to_pylist():
+        lat = float(ck % 17999) / 100.0 - 89.995
+        lon = float(ck % 35999) / 100.0 - 179.995
+        # mirror cells_sql.xy_expr: double math, floor, clip
+        x = min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+        y = min(max(int(math.floor((lat + 90.0) / 180.0 * n)), 0), n - 1)
+        keys.append(ck)
+        cells.append(xy2d(x, y, 12))
+    return {"hilbert_cells": pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "cell": pa.array(cells, pa.int64()),
+    })}
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     goldens = {}
@@ -519,6 +559,7 @@ def main() -> None:
     goldens.update(media_goldens())
     goldens.update(dp_goldens())
     goldens.update(hull_goldens())
+    goldens.update(hilbert_goldens())
     print("verifying engine vs independent goldens ...")
     verify_against_engine(goldens)
     for name, table in goldens.items():
