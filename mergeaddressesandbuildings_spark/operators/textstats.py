@@ -249,7 +249,8 @@ def quality_filter(docs: DataFrame) -> DataFrame:
 
 
 def pmi_pairs(docs: DataFrame, min_count: int = 5,
-              threshold_log2: int = 3) -> DataFrame:
+              threshold_log2: int = 3,
+              tokenize_partitions: int | None = None) -> DataFrame:
     """Pointwise-mutual-information collocations over the corpus's
     adjacent word pairs, with the PMI threshold applied as an EXACT
     INTEGER cross-multiplication so the result is engine-exact:
@@ -275,27 +276,38 @@ def pmi_pairs(docs: DataFrame, min_count: int = 5,
     """
     if threshold_log2 < 0:
         raise ValueError("threshold_log2 must be a non-negative integer")
-    ws = F.filter(F.split(F.lower(F.col("text")), " "),
-                  lambda t: t != "")
+    if tokenize_partitions:
+        # small-file corpora arrive as 1-2 scan partitions, serializing
+        # the tokenize stage; at-scale scans are already wide, so this
+        # stays opt-in (an extra shuffle of raw text is not free)
+        docs = docs.repartition(tokenize_partitions)
+    # materialize the token array ONCE per row: referencing the split
+    # expression inside the transform lambda would re-evaluate it per
+    # element (measured 2x on the bench corpus)
+    wsc = F.col("__ws")
+    toks = docs.select(
+        F.filter(F.split(F.lower(F.col("text")), " "),
+                 lambda t: t != "").alias("__ws"))
     # guard: sequence(2, size) DESCENDS for docs under 2 words
     # (doc_dedupe.shingles's short-doc rule) — emit no bigrams instead
     grams = F.when(
-        F.size(ws) >= 2,
+        F.size(wsc) >= 2,
         F.transform(
-            F.sequence(F.lit(2), F.size(ws)),
+            F.sequence(F.lit(2), F.size(wsc)),
             lambda i: F.struct(
-                F.element_at(ws, i - 1).alias("w1"),
-                F.element_at(ws, i).alias("w2"),
+                F.element_at(wsc, i - 1).alias("w1"),
+                F.element_at(wsc, i).alias("w2"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     big = (
-        docs.select(F.explode(grams).alias("g"))
+        toks.select(F.explode(grams).alias("g"))
         .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
         .agg(F.count("*").alias("c_xy"))
-    )
+    ).persist()  # reused by N, both marginals, and the final join
     # bounded metadata: ONE number (total bigrams), embedded as a
-    # literal so the plan carries no constant-key join
+    # literal so the plan carries no constant-key join; this collect
+    # also materializes the persisted bigram table
     n_bigrams = big.agg(F.sum("c_xy")).collect()[0][0] or 0
     left = big.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
     right = big.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))

@@ -3213,7 +3213,8 @@ def pmi_collocations(spark, sf_dir):
     from mergeaddressesandbuildings_spark.operators import textstats
 
     return textstats.pmi_pairs(
-        _t(spark, sf_dir, "documents"), min_count=20, threshold_log2=0)
+        _t(spark, sf_dir, "documents"), min_count=20, threshold_log2=0,
+        tokenize_partitions=32)
 
 
 @register(
