@@ -54,6 +54,13 @@ def main() -> None:
                     help="global token budget apportioned across langs "
                          "by largest remainder (0 = keep everything)")
     ap.add_argument("--n-shards", type=int, default=16)
+    ap.add_argument("--quality", choices=["annotate", "drop"],
+                    default="annotate",
+                    help="'drop' removes quality-filter failures; "
+                         "'annotate' (default) keeps them with "
+                         "keep/reasons columns — the geo-payload pages "
+                         "fixture is not prose, so the prose rules "
+                         "legitimately fail it wholesale")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -92,11 +99,14 @@ def main() -> None:
                                            F.lit(0)))
     after_url = latest.count()
 
-    # 2) quality filter (exact integer rules), keepers only
-    verdicts = textstats.quality_filter(
-        latest.select("doc_id", "text"))
-    kept = latest.join(
-        verdicts.filter(F.col("keep")).select("doc_id"), "doc_id")
+    # 2) quality filter (exact integer rules): drop or annotate
+    verdicts = textstats.quality_filter(latest.select("doc_id", "text"))
+    if args.quality == "drop":
+        kept = latest.join(
+            verdicts.filter(F.col("keep")).select("doc_id"), "doc_id")
+    else:
+        kept = latest.join(
+            verdicts.select("doc_id", "keep", "reasons"), "doc_id")
     after_quality = kept.count()
 
     # 3) PII redaction, then 4) exact dedup on the REDACTED text
@@ -121,10 +131,12 @@ def main() -> None:
 
     # 6) shard + 7) snapshot commit
     out = webpipe.shard_assign(uniq, F.col("doc_id"), args.n_shards)
+    quality_cols = (["keep", "reasons"]
+                    if args.quality == "annotate" else [])
     out = out.select("doc_id", "url", "warc_ts", "lang", "n_tokens",
-                     "shard", "text")
+                     "shard", *quality_cols, "text")
     fp_df = out.agg(F.expr(
-        "bit_xor(xxhash64(url, text))").alias("fp"),
+        "coalesce(bit_xor(xxhash64(url, text)), 0L)").alias("fp"),
         F.count("*").alias("n"))
     fp_row = fp_df.collect()[0]
     manifest = snapshots.write_snapshot(out, args.out, mode="append")
