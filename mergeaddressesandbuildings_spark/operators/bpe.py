@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Row, functions as F
 
-__all__ = ["SEP", "bpe_train"]
+__all__ = ["SEP", "MAX_INLINE_MERGES", "bpe_train", "bpe_encode"]
 
 SEP = "\x01"  # sentinel: never appears in [a-z]+ words
 
@@ -106,3 +106,129 @@ def bpe_train(docs: DataFrame, n_merges: int = 6,
     schema = ("rank int, lhs string, rhs string, "
               "merged string, freq bigint")
     return spark.createDataFrame(merges, schema=schema)
+
+
+MAX_INLINE_MERGES = 256  # expression-tree depth guard for mode="expr"
+
+
+def bpe_encode(docs: DataFrame, merges: DataFrame,
+               text_col: str = "text",
+               word_pattern: str = "^[a-z]+$",
+               mode: str = "expr") -> DataFrame:
+    """Apply a trained merge list (the ``bpe_train`` artifact) to the
+    corpus — the ENCODE half of the tokenizer pipeline. → (doc_id,
+    tokens array<string>, n_tokens bigint).
+
+    Words matching ``word_pattern`` are BPE-split; every other
+    whitespace token passes through whole (the classic byte-fallback
+    stance, minus bytes — the fixture alphabet is single-byte). Merges
+    apply in rank order with left-to-right non-overlapping replacement,
+    which IS exact greedy BPE: a merge at rank r can only create
+    adjacencies involving its new symbol, and every merge consuming
+    that symbol has rank > r, so one pass per rank in ascending order
+    reproduces the min-rank-first loop (see tests/test_bpe.py's
+    encode-vs-brute oracle).
+
+    Two physical modes, same semantics (parity-tested):
+
+    - ``mode="expr"`` — the merge list (a vocab-sized ARTIFACT, never
+      data-sized) is collected and unrolled into a chain of JVM
+      ``F.replace`` calls inside one whole-stage-codegen projection:
+      zero Python in the hot path, and the oracle (DuckDB, identical
+      replace semantics) can hash-check it. Capped at
+      ``MAX_INLINE_MERGES`` — beyond that the codegen'd expression
+      tree stops paying for itself.
+    - ``mode="arrow"`` — the 50k-merge production path: a
+      ``mapInPandas`` batch UDF holding the rank table as a dict,
+      encoding each DISTINCT word in the batch once via the standard
+      min-rank merge loop and broadcasting the result through a
+      word→tokens cache (the cache trick every production tokenizer
+      uses — corpora are Zipfian, so the per-batch distinct-word count
+      is tiny relative to rows). Map-side only: no shuffle in either
+      mode at any scale.
+    """
+    rows = [(r["lhs"], r["rhs"]) for r in
+            merges.orderBy("rank").select("lhs", "rhs").collect()]
+    if mode == "expr":
+        if len(rows) > MAX_INLINE_MERGES:
+            raise ValueError(
+                f"mode='expr' unrolls one replace per merge and is "
+                f"capped at {MAX_INLINE_MERGES} (got {len(rows)}); "
+                f"use mode='arrow' for production-sized merge lists")
+
+        def encode_word(w):
+            s = _wrap_chars(w)
+            for a, b in rows:
+                s = F.replace(s, F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}"),
+                              F.lit(f"{SEP}{a}{b}{SEP}"))
+            return F.filter(F.split(s, SEP), lambda t: t != "")
+
+        ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        toks = F.flatten(F.transform(
+            ws,
+            lambda w: F.when(w.rlike(word_pattern),
+                             encode_word(w)).otherwise(F.array(w)),
+        ))
+        return docs.select(
+            "doc_id", toks.alias("tokens"),
+            F.size(toks).cast("long").alias("n_tokens"))
+    if mode != "arrow":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    import re
+
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    rank_of = {pair: i for i, pair in enumerate(rows)}
+    pat = re.compile(word_pattern)
+    out_schema = ("doc_id bigint, tokens array<string>, "
+                  "n_tokens bigint")
+    id_field = "doc_id"
+
+    def _encode_one(w: str) -> list:
+        syms = list(w)
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = rank_of.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = (syms[i], syms[i + 1]), r
+            if best is None:
+                break
+            a, b = best
+            merged, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        return syms
+
+    def _batches(it):
+        cache: dict = {}
+        for pdf in it:
+            toks_col, n_col = [], []
+            for text in pdf[text_col].astype(str):
+                toks: list = []
+                for w in text.split(" "):
+                    if not w:
+                        continue
+                    if pat.search(w):
+                        got = cache.get(w)
+                        if got is None:
+                            got = _encode_one(w)
+                            cache[w] = got
+                        toks.extend(got)
+                    else:
+                        toks.append(w)
+                toks_col.append(toks)
+                n_col.append(len(toks))
+            yield pdf[[id_field]].assign(tokens=toks_col,
+                                         n_tokens=n_col)
+
+    return docs.select(id_field, text_col).mapInPandas(
+        _batches, schema=out_schema)

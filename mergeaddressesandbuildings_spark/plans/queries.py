@@ -2801,12 +2801,10 @@ def spatial_eps_clusters(spark, sf_dir):
     return clustering.grid_epsilon_cluster(pts, eps=6)
 
 
-def _bpe_oracle_sql(n_merges: int = 6) -> str:
-    """Unroll ``n_merges`` classic-BPE rounds in DuckDB SQL (the
-    kmeans-oracle pattern: iterate by CTE chain). Symbols ride a
-    chr(1)-wrapped string so DuckDB's non-overlapping left-to-right
-    replace IS the BPE merge — identical to the Spark engine's
-    F.replace (operators/bpe.py module docstring)."""
+def _bpe_ctes(n_merges: int) -> list[str]:
+    """Shared CTE chain for the BPE oracles: w0 (wrapped word-freq
+    vocab), then per round r the pair census p{r}, winner t{r}, and
+    merged vocab w{r}."""
     blocks = ["""
     w0 AS (
       SELECT array_to_string(
@@ -2834,6 +2832,16 @@ def _bpe_oracle_sql(n_merges: int = 6) -> str:
                      chr(1) || a || b || chr(1)) AS s, cnt
       FROM w{r - 1} CROSS JOIN t{r}
     )""")
+    return blocks
+
+
+def _bpe_oracle_sql(n_merges: int = 6) -> str:
+    """Unroll ``n_merges`` classic-BPE rounds in DuckDB SQL (the
+    kmeans-oracle pattern: iterate by CTE chain). Symbols ride a
+    chr(1)-wrapped string so DuckDB's non-overlapping left-to-right
+    replace IS the BPE merge — identical to the Spark engine's
+    F.replace (operators/bpe.py module docstring)."""
+    blocks = _bpe_ctes(n_merges)
     finals = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS rank, a AS lhs, b AS rhs, "
         f"a || b AS merged, CAST(freq AS BIGINT) AS freq FROM t{r}"
@@ -2853,6 +2861,71 @@ def bpe_merges(spark, sf_dir):
     from mergeaddressesandbuildings_spark.operators import bpe
 
     return bpe.bpe_train(_t(spark, sf_dir, "documents"), n_merges=6)
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 6) -> str:
+    """Train the same ``n_merges`` rounds (shared CTE chain), then
+    APPLY them: per word, the identical wrapped-replace chain in rank
+    order (replace semantics match F.replace; equivalence of
+    rank-order passes to the min-rank greedy loop is argued in
+    operators/bpe.py::bpe_encode). Non-[a-z]+ tokens pass through
+    whole; docs with no words keep an empty token string via the
+    LEFT JOIN."""
+    blocks = _bpe_ctes(n_merges)
+    enc = ("array_to_string(list_transform(string_split(w, ''), "
+           "c -> chr(1) || c || chr(1)), '')")
+    for r in range(1, n_merges + 1):
+        enc = (f"replace({enc}, chr(1) || t{r}.a || chr(1) || chr(1) "
+               f"|| t{r}.b || chr(1), chr(1) || t{r}.a || t{r}.b "
+               f"|| chr(1))")
+    crosses = " CROSS JOIN ".join(f"t{r}" for r in range(1, n_merges + 1))
+    return ("WITH " + ",".join(blocks) + f""",
+    dw AS (
+      SELECT doc_id, u.i AS i, d.ws[u.i] AS w
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                               x -> x <> '') AS ws
+            FROM documents) d,
+           unnest(range(1, len(d.ws) + 1)) AS u(i)
+    ),
+    enc AS (
+      SELECT doc_id, i,
+             CASE WHEN regexp_matches(w, '^[a-z]+$')
+                  THEN list_filter(string_split({enc}, chr(1)),
+                                   x -> x <> '')
+                  ELSE [w] END AS toks
+      FROM dw CROSS JOIN {crosses}
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+             string_agg(array_to_string(toks, ' '), ' ' ORDER BY i)
+               AS token_str
+      FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.token_str, '') AS token_str
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """)
+
+
+@register("doc_bpe_encode", _bpe_encode_oracle_sql(6))
+def doc_bpe_encode(spark, sf_dir):
+    """ENCODE half of the tokenizer pipeline (operators/bpe.py
+    bpe_encode): train 6 merges, then tokenize every document with the
+    rank-ordered merge list — JVM replace-chain mode, zero Python in
+    the hot path, map-side only (no shuffle over the corpus; the merge
+    list is a collected vocab-sized artifact). The arrow mode (50k-
+    merge scale path, word-cache mapInPandas) is parity-tested against
+    this mode in tests/test_bpe.py."""
+    from mergeaddressesandbuildings_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, n_merges=6)
+    out = bpe.bpe_encode(docs, merges)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.array_join("tokens", " ").alias("token_str"))
 
 
 @register(
@@ -3704,6 +3777,12 @@ def user_week_gapfill(spark, sf_dir):
 
 
 _DRIVER_WINDOW_TAIL = [
+    "doc_bpe_encode",             # parked on arrival: the BPE kernel
+                                  # (sentinel-wrapped replace) is
+                                  # window-covered by bpe_merges; encode
+                                  # is its map-side application — pytest
+                                  # parity + the sf0.01 oracle rehearsal
+                                  # keep it continuously checked
     "salted_order_join",          # parked on arrival: its RESULT kernel
                                   # (fact-dim equi-join) is window-covered
                                   # by nation_supplier_stats +

@@ -10,7 +10,7 @@ from collections import Counter
 
 import pytest
 
-from mergeaddressesandbuildings_spark.operators.bpe import bpe_train
+from mergeaddressesandbuildings_spark.operators.bpe import bpe_encode, bpe_train
 
 
 def brute(texts, n_merges, pattern_alpha=True):
@@ -98,3 +98,86 @@ def test_parallelism_invariant(spark, docs_df):
 def test_n_merges_guard(spark, docs_df):
     with pytest.raises(ValueError):
         bpe_train(docs_df, n_merges=0)
+
+
+# ----------------------------------------------------------------- encode
+
+
+def brute_encode(text, merges):
+    """Reference ENCODE: the canonical min-rank-first greedy loop
+    (GPT-2 encoder shape) — deliberately a DIFFERENT algorithm from
+    the engine's rank-ordered replace passes, so parity checks the
+    equivalence argument in bpe_encode's docstring, not the code."""
+    rank_of = {(a, b): i for i, (_, a, b, _, _) in enumerate(merges)}
+    toks = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        if not (w.isalpha() and w.islower() and w.isascii()):
+            toks.append(w)
+            continue
+        syms = list(w)
+        while len(syms) > 1:
+            ranked = [(rank_of[(syms[i], syms[i + 1])], i)
+                      for i in range(len(syms) - 1)
+                      if (syms[i], syms[i + 1]) in rank_of]
+            if not ranked:
+                break
+            r = min(ranked)[0]
+            a, b = [m for m, k in rank_of.items() if k == r][0]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+@pytest.fixture(scope="module")
+def docs_id_df(spark):
+    return spark.createDataFrame(
+        list(enumerate(TEXTS)) + [(len(TEXTS), "")],
+        "doc_id bigint, text string")
+
+
+@pytest.mark.parametrize("mode", ["expr", "arrow"])
+def test_encode_matches_brute(spark, docs_id_df, mode):
+    merges_rows = brute(TEXTS, 8)
+    merges = spark.createDataFrame(
+        merges_rows, "rank int, lhs string, rhs string, "
+                     "merged string, freq bigint")
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+           for r in bpe_encode(docs_id_df, merges, mode=mode).collect()}
+    for i, t in enumerate(TEXTS):
+        want = brute_encode(t, merges_rows)
+        assert got[i] == (want, len(want)), (mode, i, t)
+    assert got[len(TEXTS)] == ([], 0)  # empty doc survives with 0 tokens
+
+
+def test_encode_modes_parity(spark, docs_id_df):
+    merges = bpe_train(docs_id_df, n_merges=6)
+    a = sorted(map(tuple, bpe_encode(docs_id_df, merges,
+                                     mode="expr").collect()))
+    b = sorted(map(tuple, bpe_encode(docs_id_df, merges,
+                                     mode="arrow").collect()))
+    assert a == b
+
+
+def test_encode_inline_cap(spark, docs_id_df):
+    from mergeaddressesandbuildings_spark.operators.bpe import (
+        MAX_INLINE_MERGES,
+    )
+
+    big = spark.createDataFrame(
+        [(i, f"x{i}", "y", f"x{i}y", 1)
+         for i in range(1, MAX_INLINE_MERGES + 2)],
+        "rank int, lhs string, rhs string, merged string, freq bigint")
+    with pytest.raises(ValueError, match="arrow"):
+        bpe_encode(docs_id_df, big, mode="expr")
+    with pytest.raises(ValueError, match="mode"):
+        bpe_encode(docs_id_df, big, mode="nope")
