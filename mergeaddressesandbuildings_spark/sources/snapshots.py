@@ -48,8 +48,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["write_snapshot", "read_snapshot", "read_changes",
-           "snapshot_log", "current_snapshot_id"]
+__all__ = ["write_snapshot", "merge_upsert", "read_snapshot",
+           "read_changes", "snapshot_log", "current_snapshot_id"]
 
 
 def _snap_dir(table_dir: str) -> str:
@@ -90,49 +90,169 @@ def write_snapshot(df: DataFrame, table_dir: str,
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     parent = current_snapshot_id(table_dir)
-    sid = 1 if parent is None else parent + 1
-    mpath = _manifest_path(table_dir, sid)
-    if os.path.exists(mpath):
-        raise RuntimeError(
-            f"snapshot {sid} already exists — concurrent writer detected "
-            f"(this layer is single-writer; serialize commits upstream)")
-    # unique dir per ATTEMPT (not per snapshot id): a crashed commit's
-    # orphan directory must never collide with — or be absorbed by —
-    # the retry; only the manifest makes files visible
-    import uuid
-
-    data_dir = os.path.join(table_dir, "data",
-                            f"s{sid}-{uuid.uuid4().hex[:8]}")
-    df.write.mode("error").parquet(data_dir)
-    spark = df.sparkSession
-    new_files = sorted(
-        os.path.join(data_dir, f) for f in os.listdir(data_dir)
-        if f.endswith(".parquet"))
-    n_new = spark.read.parquet(data_dir).count()
+    sid = _next_sid(table_dir, parent)
+    new_files, n_new = _write_data_dir(df, table_dir, sid)
     if mode == "append" and parent is not None:
         pm = _load_manifest(table_dir, parent)
         files = pm["files"] + new_files
         n_rows = pm["n_rows"] + n_new
     else:
         files, n_rows = new_files, n_new
+    return _commit(table_dir, sid, parent, mode, files, new_files,
+                   n_rows, n_new, json.loads(df.schema.json()))
+
+
+def _next_sid(table_dir: str, parent: int | None) -> int:
+    sid = 1 if parent is None else parent + 1
+    if os.path.exists(_manifest_path(table_dir, sid)):
+        raise RuntimeError(
+            f"snapshot {sid} already exists — concurrent writer detected "
+            f"(this layer is single-writer; serialize commits upstream)")
+    return sid
+
+
+def _write_data_dir(df: DataFrame, table_dir: str,
+                    sid: int) -> tuple[list[str], int]:
+    """Write ``df`` under a fresh attempt-unique data directory and
+    return its frozen (file list, row count). Unique dir per ATTEMPT
+    (not per snapshot id): a crashed commit's orphan directory must
+    never collide with — or be absorbed by — the retry; only the
+    manifest makes files visible."""
+    import uuid
+
+    data_dir = os.path.join(table_dir, "data",
+                            f"s{sid}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("error").parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".parquet"))
+    n = df.sparkSession.read.parquet(data_dir).count() if files else 0
+    return files, n
+
+
+def _commit(table_dir: str, sid: int, parent: int | None,
+            operation: str, files: list[str], added_files: list[str],
+            n_rows: int, n_added: int, schema_json: dict,
+            extra: dict | None = None) -> dict:
     manifest = {
         "snapshot_id": sid,
         "parent_id": parent,
-        "operation": mode,
+        "operation": operation,
         "files": files,
-        "added_files": new_files,
+        "added_files": added_files,
         "n_rows": n_rows,
-        "n_added_rows": n_new,
-        "schema": json.loads(df.schema.json()),
+        "n_added_rows": n_added,
+        "schema": schema_json,
     }
+    if extra:
+        manifest.update(extra)
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
-    with open(mpath, "w") as f:
+    with open(_manifest_path(table_dir, sid), "w") as f:
         json.dump(manifest, f)
     tmp = _current_path(table_dir) + f".tmp.{sid}"
     with open(tmp, "w") as f:
         f.write(str(sid))
     os.replace(tmp, _current_path(table_dir))  # atomic commit point
     return manifest
+
+
+def _local_path(uri: str) -> str:
+    """input_file_name() URI → the plain absolute path the manifest
+    stores (local-FS binding; a real deployment compares Hadoop
+    FileSystem URIs on both sides instead)."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(uri)
+    return os.path.abspath(unquote(p.path)) if p.scheme else \
+        os.path.abspath(uri)
+
+
+def merge_upsert(changes: DataFrame, table_dir: str,
+                 key_cols: list[str],
+                 delete_col: str | None = None) -> dict:
+    """Iceberg-style MERGE INTO with file-level copy-on-write: apply a
+    keyed change set to the current snapshot — matched keys are
+    REPLACED by their change row (or removed when ``delete_col`` is
+    true), unmatched change rows are INSERTED, unmatched-delete keys
+    are a no-op — and commit the result as a new snapshot.
+
+    The scale contract (the reason this isn't ``overwrite`` of a
+    recomputed table): only data files that actually CONTAIN a matched
+    key are rewritten. Discovery is one key-projected scan of the
+    current snapshot semi-joined with the change keys, grouped to
+    ``input_file_name()`` — file count is metadata-sized, so the
+    collect is bounded. Every untouched file is carried into the new
+    manifest BY REFERENCE (zero data movement; at 10^12 rows the
+    untouched fraction is ~everything). Readers of older snapshots
+    are unaffected — replaced files stay on disk, still named by the
+    old manifests (time travel across a merge works).
+
+    ``changes`` must carry exactly the table's columns (plus
+    ``delete_col``); keys must be unique within ``changes`` — both
+    guarded loudly. Single-writer, like every commit here.
+    """
+    from pyspark.sql import functions as F
+
+    cur_sid = current_snapshot_id(table_dir)
+    if cur_sid is None:
+        raise FileNotFoundError(
+            f"no snapshots at {table_dir} — merge_upsert needs an "
+            f"existing table (use write_snapshot to create one)")
+    pm = _load_manifest(table_dir, cur_sid)
+    table_cols = [f["name"] for f in pm["schema"]["fields"]]
+    want = set(table_cols) | ({delete_col} if delete_col else set())
+    if set(changes.columns) != want:
+        raise ValueError(
+            f"changes columns {sorted(changes.columns)} != table "
+            f"columns {sorted(want)}")
+    missing = [k for k in key_cols if k not in table_cols]
+    if missing:
+        raise ValueError(f"key columns {missing} not in table schema")
+    spark = changes.sparkSession
+
+    keys = changes.select(*key_cols)
+    dup = keys.groupBy(*key_cols).count().filter("count > 1")
+    if dup.limit(1).count():
+        raise ValueError(
+            "duplicate keys in changes — MERGE is ambiguous; "
+            "dedupe the change set first (e.g. latest-wins)")
+
+    sid = _next_sid(table_dir, cur_sid)
+    schema_json = pm["schema"]
+    if not pm["files"]:
+        affected: list[str] = []
+    else:
+        hit = (
+            spark.read.parquet(*pm["files"])
+            .select(*key_cols,
+                    F.input_file_name().alias("_file"))
+            .join(keys, key_cols, "left_semi")
+            .select("_file").distinct().collect()
+        )
+        hits = {_local_path(r["_file"]) for r in hit}
+        affected = [f for f in pm["files"] if os.path.abspath(f) in hits]
+    kept = [f for f in pm["files"] if f not in set(affected)]
+
+    upserts = changes
+    if delete_col:
+        upserts = upserts.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+    upserts = upserts.select(*table_cols)
+    if affected:
+        survivors = (spark.read.parquet(*affected)
+                     .join(keys, key_cols, "left_anti")
+                     .select(*table_cols))
+        rewritten = survivors.unionByName(upserts)
+        n_affected_rows = spark.read.parquet(*affected).count()
+    else:
+        rewritten = upserts
+        n_affected_rows = 0
+    new_files, n_new = _write_data_dir(rewritten, table_dir, sid)
+    return _commit(
+        table_dir, sid, cur_sid, "merge", kept + new_files, new_files,
+        pm["n_rows"] - n_affected_rows + n_new, n_new, schema_json,
+        extra={"n_rewritten_files": len(affected),
+               "n_kept_files": len(kept)})
 
 
 def _resolve(table_dir: str, snapshot_id: int | None) -> dict:

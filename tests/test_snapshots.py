@@ -93,3 +93,82 @@ def test_schema_frozen_per_snapshot(spark, tdir):
     m = S._load_manifest(tdir, 1)
     names = [f["name"] for f in m["schema"]["fields"]]
     assert names == ["id", "v"]
+
+
+# -------------------------------------------------------- merge_upsert
+
+
+def _seed(spark, tdir):
+    """Two appends with disjoint key ranges -> two file groups."""
+    S.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), tdir)
+    S.write_snapshot(
+        spark.createDataFrame([(10, "x"), (11, "y")], ["id", "v"]), tdir)
+
+
+def test_merge_upsert_semantics(spark, tdir):
+    _seed(spark, tdir)
+    ch = spark.createDataFrame(
+        [(2, "B!", False),    # update
+         (99, "new", False),  # insert
+         (10, None, True),    # delete
+         (555, None, True)],  # delete of absent key: no-op
+        "id bigint, v string, is_del boolean")
+    m = S.merge_upsert(ch, tdir, ["id"], delete_col="is_del")
+    assert m["operation"] == "merge" and m["n_rows"] == 4
+    assert rows_of(S.read_snapshot(spark, tdir)) == \
+        [(1, "a"), (2, "B!"), (11, "y"), (99, "new")]
+    # time travel across the merge still sees the old state
+    assert rows_of(S.read_snapshot(spark, tdir, 2)) == \
+        [(1, "a"), (2, "b"), (10, "x"), (11, "y")]
+
+
+def test_merge_upsert_rewrites_only_affected_files(spark, tdir):
+    _seed(spark, tdir)
+    before = S._load_manifest(tdir, 2)
+    # snapshot 1's files hold ids {1,2}; touch only id 10 (snapshot 2's)
+    ch = spark.createDataFrame([(10, "X")], ["id", "v"])
+    m = S.merge_upsert(ch, tdir, ["id"])
+    s1_files = set(S._load_manifest(tdir, 1)["files"])
+    assert s1_files <= set(m["files"])          # untouched: by reference
+    # granularity is per FILE, not per commit: of snapshot 2's part
+    # files only the one(s) containing id 10 get rewritten
+    kept_old = set(before["files"]) & set(m["files"])
+    assert m["n_rewritten_files"] == \
+        len(before["files"]) - len(kept_old) >= 1
+    assert m["n_kept_files"] == len(kept_old)
+    rewritten_rows = spark.read.parquet(
+        *(set(before["files"]) - kept_old)).collect()
+    assert any(r["id"] == 10 for r in rewritten_rows)
+    assert rows_of(S.read_snapshot(spark, tdir)) == \
+        [(1, "a"), (2, "b"), (10, "X"), (11, "y")]
+
+
+def test_merge_upsert_insert_only_touches_nothing(spark, tdir):
+    _seed(spark, tdir)
+    m = S.merge_upsert(
+        spark.createDataFrame([(50, "q")], ["id", "v"]), tdir, ["id"])
+    assert m["n_rewritten_files"] == 0 and m["n_rows"] == 5
+
+
+def test_merge_upsert_guards(spark, tdir):
+    _seed(spark, tdir)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        S.merge_upsert(
+            spark.createDataFrame([(1, "p"), (1, "q")], ["id", "v"]),
+            tdir, ["id"])
+    with pytest.raises(ValueError, match="columns"):
+        S.merge_upsert(
+            spark.createDataFrame([(1,)], ["id"]), tdir, ["id"])
+    with pytest.raises(FileNotFoundError):
+        S.merge_upsert(
+            spark.createDataFrame([(1, "a")], ["id", "v"]),
+            str(tdir) + "_absent", ["id"])
+
+
+def test_read_changes_rejects_merge(spark, tdir):
+    _seed(spark, tdir)
+    S.merge_upsert(spark.createDataFrame([(1, "z")], ["id", "v"]),
+                   tdir, ["id"])
+    with pytest.raises(ValueError, match="append-only"):
+        S.read_changes(spark, tdir, 1, 3)
