@@ -48,8 +48,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["write_snapshot", "merge_upsert", "read_snapshot",
-           "read_changes", "snapshot_log", "current_snapshot_id"]
+__all__ = ["write_snapshot", "merge_upsert", "compact_files",
+           "expire_snapshots", "read_snapshot", "read_changes",
+           "snapshot_log", "current_snapshot_id"]
 
 
 def _snap_dir(table_dir: str) -> str:
@@ -253,6 +254,94 @@ def merge_upsert(changes: DataFrame, table_dir: str,
         pm["n_rows"] - n_affected_rows + n_new, n_new, schema_json,
         extra={"n_rewritten_files": len(affected),
                "n_kept_files": len(kept)})
+
+
+def compact_files(spark: SparkSession, table_dir: str,
+                  small_file_bytes: int = 32 * 1024 * 1024,
+                  target_partitions: int | None = None) -> dict:
+    """Bin-pack small data files (Iceberg's ``rewrite_data_files``):
+    every file under ``small_file_bytes`` is read back, repartitioned
+    down (default: total small bytes // small_file_bytes, min 1), and
+    committed as a ``compact`` snapshot whose row set is IDENTICAL to
+    the parent's — only the file layout changes. Files at or above the
+    threshold ride into the new manifest by reference.
+
+    This is the operational answer to the small-file problem an
+    append-heavy 10^12-row table accumulates: scan-task count (and
+    thus scheduler + open() overhead) tracks FILE count, not row
+    count. Row-identity is verified before the commit is made visible
+    (count of rewritten output vs count of compacted inputs — both
+    bounded actions over the small files only)."""
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    pm = _load_manifest(table_dir, cur)
+    small = [f for f in pm["files"]
+             if os.path.getsize(f) < small_file_bytes]
+    if len(small) <= 1:  # nothing to pack together
+        return pm
+    kept = [f for f in pm["files"] if f not in set(small)]
+    sid = _next_sid(table_dir, cur)
+    total = sum(os.path.getsize(f) for f in small)
+    nparts = target_partitions or max(1, total // small_file_bytes)
+    src = spark.read.parquet(*small)
+    n_small = src.count()
+    new_files, n_new = _write_data_dir(
+        src.repartition(nparts), table_dir, sid)
+    if n_new != n_small:
+        raise RuntimeError(
+            f"compaction row-identity check failed: {n_small} rows in, "
+            f"{n_new} out — aborting before the manifest commit "
+            f"(orphan attempt dir stays invisible)")
+    return _commit(
+        table_dir, sid, cur, "compact", kept + new_files, new_files,
+        pm["n_rows"], n_new, pm["schema"],
+        extra={"n_compacted_files": len(small),
+               "n_kept_files": len(kept)})
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Expire history: drop the manifests of all but the newest
+    ``keep_last`` snapshots and DELETE every data file that no
+    retained manifest references (Iceberg's ``expire_snapshots`` —
+    the step that actually reclaims space after overwrites, merges
+    and compactions; until it runs, every historical file is pinned
+    by its manifest).
+
+    Safety order matters on a real object store just like here:
+    manifests are removed FIRST, then orphaned files — a reader that
+    raced the expiry either resolved a still-complete manifest or
+    gets a clean snapshot-not-found, never a manifest pointing at
+    deleted data. Returns counts + the ids expired."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    cutoff = cur - keep_last  # expire ids <= cutoff
+    retained_files: set[str] = set()
+    expired_ids, candidate_files = [], set()
+    for sid in range(1, cur + 1):
+        try:
+            m = _load_manifest(table_dir, sid)
+        except FileNotFoundError:
+            continue
+        if sid <= cutoff:
+            expired_ids.append(sid)
+            candidate_files.update(m["files"])
+        else:
+            retained_files.update(m["files"])
+    for sid in expired_ids:
+        os.remove(_manifest_path(table_dir, sid))
+    orphans = sorted(candidate_files - retained_files)
+    for f in orphans:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass  # already gone (e.g. double expiry)
+    return {"expired_snapshot_ids": expired_ids,
+            "n_deleted_files": len(orphans),
+            "current": cur}
 
 
 def _resolve(table_dir: str, snapshot_id: int | None) -> dict:

@@ -172,3 +172,73 @@ def test_read_changes_rejects_merge(spark, tdir):
                    tdir, ["id"])
     with pytest.raises(ValueError, match="append-only"):
         S.read_changes(spark, tdir, 1, 3)
+
+
+# ------------------------------------------- compaction + expiry
+
+
+def test_compact_preserves_rows_and_prunes_files(spark, tdir):
+    for i in range(4):  # 4 tiny appends -> many small files
+        S.write_snapshot(
+            spark.createDataFrame([(i * 10 + j, f"v{i}{j}")
+                                   for j in range(3)], ["id", "v"]),
+            tdir)
+    before = rows_of(S.read_snapshot(spark, tdir))
+    pm = S._load_manifest(tdir, 4)
+    m = S.compact_files(spark, tdir, small_file_bytes=32 << 20)
+    assert m["operation"] == "compact"
+    assert m["n_compacted_files"] == len(pm["files"])
+    assert len(m["files"]) < len(pm["files"])
+    assert m["n_rows"] == pm["n_rows"]
+    assert rows_of(S.read_snapshot(spark, tdir)) == before
+    # history before the compaction still readable
+    assert len(rows_of(S.read_snapshot(spark, tdir, 2))) == 6
+
+
+def test_compact_skips_big_files(spark, tdir):
+    S.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), tdir)
+    m = S.compact_files(spark, tdir, small_file_bytes=1)  # all "big"
+    assert m["snapshot_id"] == 1  # no-op: parent manifest returned
+
+
+def test_expire_snapshots_reclaims_unreferenced_files(spark, tdir):
+    S.write_snapshot(
+        spark.createDataFrame([(1, "a")], ["id", "v"]), tdir)
+    S.write_snapshot(
+        spark.createDataFrame([(1, "A2")], ["id", "v"]),
+        tdir, mode="overwrite")
+    S.write_snapshot(
+        spark.createDataFrame([(2, "b")], ["id", "v"]), tdir)
+    s1_files = S._load_manifest(tdir, 1)["files"]
+    r = S.expire_snapshots(tdir, keep_last=2)
+    assert r["expired_snapshot_ids"] == [1]
+    # snapshot 1's files are unreferenced by 2/3 -> deleted from disk
+    assert r["n_deleted_files"] == len(s1_files)
+    assert not any(os.path.exists(f) for f in s1_files)
+    # retained chain intact, current readable, expired id errors cleanly
+    assert rows_of(S.read_snapshot(spark, tdir)) == [(1, "A2"), (2, "b")]
+    assert rows_of(S.read_snapshot(spark, tdir, 2)) == [(1, "A2")]
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot(spark, tdir, 1)
+    assert [e["snapshot_id"] for e in S.snapshot_log(tdir)] == [2, 3]
+
+
+def test_expire_keeps_files_still_referenced(spark, tdir):
+    # append chain: snapshot 3 references snapshots 1-3's files, so
+    # expiring 1 and 2 must delete NOTHING
+    for i in range(3):
+        S.write_snapshot(
+            spark.createDataFrame([(i, "x")], ["id", "v"]), tdir)
+    r = S.expire_snapshots(tdir, keep_last=1)
+    assert r["expired_snapshot_ids"] == [1, 2]
+    assert r["n_deleted_files"] == 0
+    assert rows_of(S.read_snapshot(spark, tdir)) == \
+        [(0, "x"), (1, "x"), (2, "x")]
+
+
+def test_expire_guard(spark, tdir):
+    S.write_snapshot(spark.createDataFrame([(1, "a")], ["id", "v"]),
+                     tdir)
+    with pytest.raises(ValueError):
+        S.expire_snapshots(tdir, keep_last=0)
