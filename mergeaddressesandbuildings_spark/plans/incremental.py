@@ -1,0 +1,348 @@
+"""Incremental merge: recompute proportional to the page DELTA, not
+the corpus (SURVEY.md §3.2 E3 + §2.5 S5 carried to its cluster-scale
+conclusion; BASELINE.json north_star "resumable from per-tile
+checkpoints" — this is the re-RUN side of resumability).
+
+At 10^12 pages a crawl increment touches a vanishing fraction of
+urls; re-running the full pipeline to absorb it wastes O(corpus)
+extraction + spatial-join work. This plan keeps the expensive stages'
+results in snapshot-versioned tables (sources/snapshots.py) keyed so
+a url-level change set can be SPLICED in:
+
+    state tables (all under one state dir)
+      records      extract_records output, keyed by url   [O(pages)]
+      addresses    post-J4 address rows, keyed by url     [O(elems)]
+      buildings    post-J3 survivors ∪ existing ways,
+                   keyed by url ('osm://existing' rows
+                   are the static OSM state)              [O(elems)]
+      pip_winners  §8.4(1) winners, keyed by addr_id      [O(elems)]
+      knn_winners  §8.4(2) winners, keyed by addr_id      [O(elems)]
+      ex_nodes     existing OSM address nodes (static)
+      meta.json    the merge parameters the state was built with
+                   (level, cutoff, …) — an increment MUST reuse them
+
+Change propagation is bounded by the same invariant the spatial join
+already asserts (§8.5: kNN cutoff ≤ one cell width at ``level``), so
+Morton-ring expansion gives an EXACT affected closure:
+
+    base   = cells touched by the changed urls' old ∪ new records
+             (address cells + full building bbox covers)
+    ring1  = base ∪ its 8-neighbors   → every address whose effective
+             candidate set (PIP containment or kNN ≤ cutoff) can have
+             changed has cell ∈ ring1
+    ring2  = ring1 ∪ its 8-neighbors  → every building that can be a
+             candidate for a ring1 address has a cover cell ∈ ring2
+
+so the spatial join re-runs ONLY over (addresses in ring1) ×
+(buildings covering ring2), and the winner tables are spliced by
+addr_id. Decisions CANNOT be spliced — §8.4's per-building vote
+(conflict/keep-node/merged) aggregates over ALL addresses assigned to
+a building, so one spliced winner can flip the decision of an
+untouched address — therefore decisions/output-sets/tiling recompute
+globally from the spliced winner tables. Those stages are
+element-scale hash aggs + window passes (no html, no geometry
+kernels): at the 10^12-page target they are noise next to the
+extraction and PIP/kNN kernels this plan avoids re-running.
+
+Exactness contract (tested: incremental == full rebuild, fingerprint
+equal): J4/J3 dedupe are row-local given the static existing state,
+winner picks are deterministic per candidate set, and the closure
+above is a superset of every row whose candidate set changed.
+
+The change-set contract: ``page_changes`` carries, per changed url,
+the url's FULL new page state (its current latest capture; multiple
+captures are latest-capture-reduced exactly like the full pipeline)
+plus ``deleted=true`` rows for urls that left the corpus. Partial
+deltas (an older capture of a url whose newest row is NOT in the
+delta) violate latest-capture-wins and are the caller's bug.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mergeaddressesandbuildings_spark import config
+from mergeaddressesandbuildings_spark.functions import cells
+from mergeaddressesandbuildings_spark.operators import (
+    decisions as dec,
+    dedupe,
+    extract,
+    spatial_join as sj,
+    tiling,
+)
+from mergeaddressesandbuildings_spark.sources import snapshots as snap
+
+_TABLES = ("records", "addresses", "buildings",
+           "pip_winners", "knn_winners", "ex_nodes")
+
+
+def _t(state_dir: str, name: str) -> str:
+    return os.path.join(state_dir, name)
+
+
+def _meta_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "meta.json")
+
+
+def _expand_cells(cell_df: DataFrame) -> DataFrame:
+    """distinct cells → distinct (cells ∪ their 8 Morton neighbors).
+    T3's numpy kernel over the (delta-sized) distinct-cell table; the
+    same pole/antimeridian clamping as the kNN expansion."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            c = b["cell"].to_numpy(dtype=np.int64)
+            if len(c) == 0:
+                yield pd.DataFrame({"cell": np.array([], dtype=np.int64)})
+                continue
+            yield pd.DataFrame(
+                {"cell": np.unique(cells.neighbors(c).ravel())})
+
+    return cell_df.select("cell").distinct() \
+        .mapInPandas(run, "cell long").distinct()
+
+
+def _record_cells(records: DataFrame) -> DataFrame:
+    """One (cell) row per cell a record table touches: address cells
+    plus every building bbox-cover cell (covers are frozen into the
+    rows at the level the state was built with)."""
+    addr = records.filter(F.col("kind") == "address").select("cell")
+    bld = (records.filter(F.col("kind") == "building")
+           .select(F.explode("cells").alias("cell")))
+    return addr.unionByName(bld).distinct()
+
+
+def _winners(spark: SparkSession, addresses: DataFrame,
+             buildings: DataFrame, level: int, knn_cutoff_m: float,
+             salt_threshold: int,
+             broadcast_max: int) -> tuple[DataFrame, DataFrame]:
+    """The J1→J2 winner pass of plans/merge.py over an arbitrary
+    (addresses, buildings) slice — identical strategy choices, so the
+    sub-run of an increment picks bit-identical winners."""
+    n_bld = buildings.count()
+    broadcast_idx = None
+    if n_bld <= broadcast_max:
+        broadcast_idx = sj.build_broadcast_index(
+            buildings.select(
+                "building_id", "ring_lats", "ring_lons",
+                "hole_lats", "hole_lons",
+                "min_lat", "min_lon", "max_lat", "max_lon", "area_m2",
+            ).toPandas()
+        )
+    pip = sj.pip_candidates(addresses, buildings,
+                            broadcast_index=broadcast_idx,
+                            salt_threshold=salt_threshold)
+    pip_w = sj.pick_pip_winner(pip)
+    pip_w = pip_w.persist()
+    pip_w.count()
+    unmatched = addresses.join(pip_w.select("addr_id"), "addr_id",
+                               "left_anti")
+    knn = sj.knn_candidates(unmatched, buildings, cutoff_m=knn_cutoff_m,
+                            level=level, broadcast_index=broadcast_idx,
+                            salt_threshold=salt_threshold)
+    knn_w = sj.pick_knn_winner(knn)
+    return pip_w, knn_w
+
+
+def full_build(spark: SparkSession, pages: DataFrame,
+               existing_osm: DataFrame | None, state_dir: str,
+               level: int = config.CELL_LEVEL,
+               knn_cutoff_m: float = config.KNN_CUTOFF_M,
+               salt_threshold: int = config.SALT_THRESHOLD,
+               broadcast_max: int = config.BROADCAST_BUILDINGS_MAX) -> dict:
+    """Run the full pipeline once and persist the incremental state
+    tables. Returns {table: manifest} plus the run parameters."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    # extraction is CPU-bound per row; fan a compact input out to the
+    # session's parallelism first (plans/merge.py has the same prolog)
+    par = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < par:
+        pages = pages.repartition(par * 2)
+
+    # state tables are written CLUSTERED BY their splice key: a changed
+    # key then hits O(1) data files, so replace_keys' copy-on-write
+    # rewrites a bounded file set instead of the whole table (the same
+    # reason Iceberg tables bucket by merge key)
+    nfiles = par * 2
+
+    records = extract.extract_records(pages, level=level) \
+        .repartition(nfiles, "url")
+    m_rec = snap.write_snapshot(records, _t(state_dir, "records"),
+                                mode="overwrite")
+    records = snap.read_snapshot(spark, _t(state_dir, "records"))
+
+    addresses, new_buildings = extract.split_records(records)
+    if existing_osm is not None:
+        ex_nodes, ex_ways = extract.existing_to_tables(existing_osm,
+                                                       level=level)
+        addresses = dedupe.dedupe_addresses(addresses, ex_nodes)
+        new_buildings = dedupe.dedupe_buildings(new_buildings, ex_ways)
+        buildings = new_buildings.unionByName(ex_ways)
+    else:
+        ex_nodes = spark.createDataFrame(
+            [], "addr_id long, lat double, lon double, "
+                "housenumber string, street string")
+        buildings = new_buildings
+    snap.write_snapshot(ex_nodes, _t(state_dir, "ex_nodes"),
+                        mode="overwrite")
+
+    m_addr = snap.write_snapshot(addresses.repartition(nfiles, "url"),
+                                 _t(state_dir, "addresses"),
+                                 mode="overwrite")
+    m_bld = snap.write_snapshot(buildings.repartition(nfiles, "url"),
+                                _t(state_dir, "buildings"),
+                                mode="overwrite")
+    addresses = snap.read_snapshot(spark, _t(state_dir, "addresses"))
+    buildings = snap.read_snapshot(spark, _t(state_dir, "buildings"))
+
+    pip_w, knn_w = _winners(spark, addresses, buildings, level,
+                            knn_cutoff_m, salt_threshold, broadcast_max)
+    m_pip = snap.write_snapshot(pip_w.repartition(nfiles, "addr_id"),
+                                _t(state_dir, "pip_winners"),
+                                mode="overwrite")
+    m_knn = snap.write_snapshot(knn_w.repartition(nfiles, "addr_id"),
+                                _t(state_dir, "knn_winners"),
+                                mode="overwrite")
+    pip_w.unpersist()
+
+    meta = {"level": level, "knn_cutoff_m": knn_cutoff_m,
+            "salt_threshold": salt_threshold,
+            "broadcast_max": broadcast_max}
+    with open(_meta_path(state_dir), "w") as f:
+        json.dump(meta, f)
+    return {"records": m_rec, "addresses": m_addr, "buildings": m_bld,
+            "pip_winners": m_pip, "knn_winners": m_knn, **meta}
+
+
+def apply_delta(spark: SparkSession, page_changes: DataFrame,
+                state_dir: str,
+                deleted_col: str = "deleted") -> dict:
+    """Splice a url-keyed page change set into the state (module
+    docstring: contract, closure math). Returns delta metrics —
+    notably ``n_affected_addresses`` / ``n_sub_buildings``, the actual
+    recompute scope, vs ``n_addresses_total``."""
+    with open(_meta_path(state_dir)) as f:
+        meta = json.load(f)
+    level = meta["level"]
+
+    has_del = deleted_col in page_changes.columns
+    changed_urls = page_changes.select("url").distinct()
+    upserts = page_changes
+    if has_del:
+        upserts = upserts.filter(
+            ~F.coalesce(F.col(deleted_col), F.lit(False)))
+    upserts = upserts.drop(deleted_col) if has_del else upserts
+    par = spark.sparkContext.defaultParallelism
+    if upserts.rdd.getNumPartitions() < par:
+        upserts = upserts.repartition(par)
+
+    new_records = extract.extract_records(upserts, level=level)
+    new_records = new_records.persist()
+    n_new_records = new_records.count()
+
+    records_tbl = _t(state_dir, "records")
+    old_changed = (snap.read_snapshot(spark, records_tbl)
+                   .join(changed_urls, "url", "left_semi")
+                   .persist())
+    n_old_records = old_changed.count()
+
+    # affected closure (module docstring): base → ring1 → ring2
+    base = _record_cells(old_changed).unionByName(
+        _record_cells(new_records)).distinct()
+    ring1 = _expand_cells(base).persist()
+    ring2 = _expand_cells(ring1).persist()
+
+    # splice the element tables by url (replace_keys: delete-then-insert)
+    snap.replace_keys(spark, records_tbl, ["url"], changed_urls,
+                      new_records)
+
+    addr_delta, bld_delta = extract.split_records(new_records)
+    ex_nodes = snap.read_snapshot(spark, _t(state_dir, "ex_nodes"))
+    ex_ways = (snap.read_snapshot(spark, _t(state_dir, "buildings"))
+               .filter(F.col("existing")))
+    addr_delta = dedupe.dedupe_addresses(addr_delta, ex_nodes)
+    bld_delta = dedupe.dedupe_buildings(bld_delta, ex_ways)
+    snap.replace_keys(spark, _t(state_dir, "addresses"), ["url"],
+                      changed_urls, addr_delta)
+    snap.replace_keys(spark, _t(state_dir, "buildings"), ["url"],
+                      changed_urls, bld_delta)
+    new_records.unpersist()
+
+    # recompute winners on the closure slice only
+    addresses = snap.read_snapshot(spark, _t(state_dir, "addresses"))
+    buildings = snap.read_snapshot(spark, _t(state_dir, "buildings"))
+    n_addr_total = addresses.count()
+
+    sub_addr = addresses.join(ring1, "cell", "left_semi").persist()
+    n_sub_addr = sub_addr.count()
+    sub_bld_ids = (buildings
+                   .select("building_id", F.explode("cells").alias("cell"))
+                   .join(ring2, "cell", "left_semi")
+                   .select("building_id").distinct())
+    sub_bld = buildings.join(sub_bld_ids, "building_id", "left_semi") \
+                       .persist()
+    n_sub_bld = sub_bld.count()
+
+    pip_w, knn_w = _winners(spark, sub_addr, sub_bld, level,
+                            meta["knn_cutoff_m"], meta["salt_threshold"],
+                            meta["broadcast_max"])
+
+    # purge = every addr whose winner may have changed: the closure
+    # slice (recomputed → reinserted) ∪ every addr id the changed urls
+    # USED to contribute (deleted urls' rows drop to nothing)
+    purge = sub_addr.select("addr_id").unionByName(
+        old_changed.filter(F.col("kind") == "address")
+        .select(F.col("id").alias("addr_id"))).distinct()
+    snap.replace_keys(spark, _t(state_dir, "pip_winners"), ["addr_id"],
+                      purge, pip_w)
+    snap.replace_keys(spark, _t(state_dir, "knn_winners"), ["addr_id"],
+                      purge, knn_w)
+    pip_w.unpersist()
+    sub_addr.unpersist()
+    sub_bld.unpersist()
+    old_changed.unpersist()
+    out = {
+        "n_changed_urls": changed_urls.count(),
+        "n_new_records": n_new_records,
+        "n_old_records": n_old_records,
+        "n_affected_addresses": n_sub_addr,
+        "n_sub_buildings": n_sub_bld,
+        "n_addresses_total": n_addr_total,
+        "affected_fraction": (n_sub_addr / n_addr_total
+                              if n_addr_total else 0.0),
+    }
+    ring1.unpersist()
+    ring2.unpersist()
+    return out
+
+
+def current_outputs(spark: SparkSession, state_dir: str,
+                    budget: int = config.TILE_MAX_ELEMS):
+    """(assignments, sets, tiles, tile_map) from the current state —
+    the same global decision/tiling tail as plans/merge.run_merge,
+    over the spliced element tables (element-scale; no extraction, no
+    geometry kernels). ``tile_map`` is the distinct fine-cell → tile
+    map, the frame jobs/merge.py joins assignments against for the
+    fingerprint-bearing flat output."""
+    with open(_meta_path(state_dir)) as f:
+        meta = json.load(f)
+    addresses = snap.read_snapshot(spark, _t(state_dir, "addresses"))
+    buildings = snap.read_snapshot(spark, _t(state_dir, "buildings"))
+    pip_w = snap.read_snapshot(spark, _t(state_dir, "pip_winners"))
+    knn_w = snap.read_snapshot(spark, _t(state_dir, "knn_winners"))
+
+    assignments = dec.assign(addresses, pip_w, knn_w, buildings)
+    assignments = assignments.persist()
+    assignments.count()
+    sets = dec.output_sets(assignments, buildings)
+    points = tiling.tile_points(assignments, buildings)
+    tm = tiling.tile_map(points, budget=budget, level=meta["level"])
+    tiles = tiling.assign_tiles(points, budget=budget,
+                                level=meta["level"], tm=tm)
+    return assignments, sets, tiles, tm

@@ -48,9 +48,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["write_snapshot", "merge_upsert", "compact_files",
-           "expire_snapshots", "read_snapshot", "read_changes",
-           "snapshot_log", "current_snapshot_id"]
+__all__ = ["write_snapshot", "merge_upsert", "replace_keys",
+           "compact_files", "expire_snapshots", "read_snapshot",
+           "read_changes", "snapshot_log", "current_snapshot_id"]
 
 
 def _snap_dir(table_dir: str) -> str:
@@ -252,6 +252,83 @@ def merge_upsert(changes: DataFrame, table_dir: str,
     return _commit(
         table_dir, sid, cur_sid, "merge", kept + new_files, new_files,
         pm["n_rows"] - n_affected_rows + n_new, n_new, schema_json,
+        extra={"n_rewritten_files": len(affected),
+               "n_kept_files": len(kept)})
+
+
+def replace_keys(spark: SparkSession, table_dir: str,
+                 key_cols: list[str], keys: DataFrame,
+                 inserts: DataFrame | None = None) -> dict:
+    """Keyed DELETE-then-INSERT with file-level copy-on-write: every
+    current row whose key appears in ``keys`` (or in ``inserts``) is
+    removed, then ALL ``inserts`` rows are added, as one new snapshot.
+
+    This is the multi-row-per-key sibling of :func:`merge_upsert`
+    (which replaces exactly one row per key): tables like the merge
+    engine's extracted-records table hold MANY rows per url, so "this
+    url's content changed" means "drop whatever rows it had, insert
+    whatever rows it has now" — including the drop-to-zero case
+    (``inserts`` missing that key entirely ⇒ pure delete). Same scale
+    contract as merge_upsert: only data files that actually contain a
+    matched key are rewritten; untouched files carry into the new
+    manifest by reference, so commit cost is O(delta + hit files), not
+    O(table).
+    """
+    from pyspark.sql import functions as F
+
+    cur_sid = current_snapshot_id(table_dir)
+    if cur_sid is None:
+        raise FileNotFoundError(
+            f"no snapshots at {table_dir} — replace_keys needs an "
+            f"existing table (use write_snapshot to create one)")
+    pm = _load_manifest(table_dir, cur_sid)
+    table_cols = [f["name"] for f in pm["schema"]["fields"]]
+    if inserts is not None and set(inserts.columns) != set(table_cols):
+        raise ValueError(
+            f"inserts columns {sorted(inserts.columns)} != table "
+            f"columns {sorted(table_cols)}")
+    missing = [k for k in key_cols if k not in table_cols]
+    if missing:
+        raise ValueError(f"key columns {missing} not in table schema")
+
+    purge = keys.select(*key_cols)
+    if inserts is not None:
+        purge = purge.unionByName(inserts.select(*key_cols))
+    purge = purge.distinct()
+
+    sid = _next_sid(table_dir, cur_sid)
+    if not pm["files"]:
+        affected: list[str] = []
+    else:
+        hit = (
+            spark.read.parquet(*pm["files"])
+            .select(*key_cols, F.input_file_name().alias("_file"))
+            .join(purge, key_cols, "left_semi")
+            .select("_file").distinct().collect()
+        )
+        hits = {_local_path(r["_file"]) for r in hit}
+        affected = [f for f in pm["files"] if os.path.abspath(f) in hits]
+    kept = [f for f in pm["files"] if f not in set(affected)]
+
+    parts = []
+    n_affected_rows = 0
+    if affected:
+        parts.append(spark.read.parquet(*affected)
+                     .join(purge, key_cols, "left_anti")
+                     .select(*table_cols))
+        n_affected_rows = spark.read.parquet(*affected).count()
+    if inserts is not None:
+        parts.append(inserts.select(*table_cols))
+    if parts:
+        rewritten = parts[0]
+        for p in parts[1:]:
+            rewritten = rewritten.unionByName(p)
+        new_files, n_new = _write_data_dir(rewritten, table_dir, sid)
+    else:
+        new_files, n_new = [], 0
+    return _commit(
+        table_dir, sid, cur_sid, "replace", kept + new_files, new_files,
+        pm["n_rows"] - n_affected_rows + n_new, n_new, pm["schema"],
         extra={"n_rewritten_files": len(affected),
                "n_kept_files": len(kept)})
 
