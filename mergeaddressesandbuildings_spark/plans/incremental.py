@@ -90,21 +90,33 @@ def _meta_path(state_dir: str) -> str:
     return os.path.join(state_dir, "meta.json")
 
 
-def _expand_cells(cell_df: DataFrame) -> DataFrame:
-    """distinct cells → distinct (cells ∪ their 8 Morton neighbors).
-    T3's numpy kernel over the (delta-sized) distinct-cell table; the
-    same pole/antimeridian clamping as the kNN expansion."""
+def _closure_rings(cell_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """distinct base cells → (ring1, ring2): one and two rounds of
+    8-neighbor Morton expansion (T3's numpy kernel, same
+    pole/antimeridian clamping as the kNN expansion), in ONE pass.
+    Expansion is pointwise (neigh(S) = ∪ neigh(s)), so per-partition
+    expansion followed by a global distinct is exact; a cell reached
+    at ring 1 by any partition lands in ring1 via min(ring)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             c = b["cell"].to_numpy(dtype=np.int64)
             if len(c) == 0:
-                yield pd.DataFrame({"cell": np.array([], dtype=np.int64)})
                 continue
-            yield pd.DataFrame(
-                {"cell": np.unique(cells.neighbors(c).ravel())})
+            r1 = np.unique(cells.neighbors(c).ravel())
+            r2 = np.unique(cells.neighbors(r1).ravel())
+            yield pd.DataFrame({
+                "cell": np.concatenate([r1, r2]),
+                "ring": np.concatenate([
+                    np.ones(len(r1), dtype=np.int32),
+                    np.full(len(r2), 2, dtype=np.int32)]),
+            })
 
-    return cell_df.select("cell").distinct() \
-        .mapInPandas(run, "cell long").distinct()
+    ringed = (cell_df.select("cell").distinct()
+              .mapInPandas(run, "cell long, ring int")
+              .groupBy("cell").agg(F.min("ring").alias("ring")))
+    ring2 = ringed.select("cell")
+    ring1 = ringed.filter(F.col("ring") == 1).select("cell")
+    return ring1, ring2
 
 
 def _record_cells(records: DataFrame) -> DataFrame:
@@ -255,23 +267,37 @@ def apply_delta(spark: SparkSession, page_changes: DataFrame,
     # affected closure (module docstring): base → ring1 → ring2
     base = _record_cells(old_changed).unionByName(
         _record_cells(new_records)).distinct()
-    ring1 = _expand_cells(base).persist()
-    ring2 = _expand_cells(ring1).persist()
+    ring1, ring2 = _closure_rings(base)
+    ring1 = ring1.persist()
+    ring2 = ring2.persist()
 
-    # splice the element tables by url (replace_keys: delete-then-insert)
-    snap.replace_keys(spark, records_tbl, ["url"], changed_urls,
-                      new_records)
-
+    # splice the element tables by url (replace_keys: delete-then-
+    # insert). The three tables are independent — their commits run
+    # concurrently (Spark schedules the jobs side by side; the
+    # snapshot layer is single-writer PER TABLE, which threads here
+    # respect). NOTE: ex_ways must come from the PRE-splice buildings
+    # snapshot, so resolve the frozen file list before launching.
     addr_delta, bld_delta = extract.split_records(new_records)
     ex_nodes = snap.read_snapshot(spark, _t(state_dir, "ex_nodes"))
     ex_ways = (snap.read_snapshot(spark, _t(state_dir, "buildings"))
                .filter(F.col("existing")))
     addr_delta = dedupe.dedupe_addresses(addr_delta, ex_nodes)
     bld_delta = dedupe.dedupe_buildings(bld_delta, ex_ways)
-    snap.replace_keys(spark, _t(state_dir, "addresses"), ["url"],
-                      changed_urls, addr_delta)
-    snap.replace_keys(spark, _t(state_dir, "buildings"), ["url"],
-                      changed_urls, bld_delta)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(snap.replace_keys, spark, records_tbl, ["url"],
+                        changed_urls, new_records),
+            pool.submit(snap.replace_keys, spark,
+                        _t(state_dir, "addresses"), ["url"],
+                        changed_urls, addr_delta),
+            pool.submit(snap.replace_keys, spark,
+                        _t(state_dir, "buildings"), ["url"],
+                        changed_urls, bld_delta),
+        ]
+        for f in futs:
+            f.result()
     new_records.unpersist()
 
     # recompute winners on the closure slice only
@@ -299,11 +325,21 @@ def apply_delta(spark: SparkSession, page_changes: DataFrame,
     purge = sub_addr.select("addr_id").unionByName(
         old_changed.filter(F.col("kind") == "address")
         .select(F.col("id").alias("addr_id"))).distinct()
-    snap.replace_keys(spark, _t(state_dir, "pip_winners"), ["addr_id"],
-                      purge, pip_w)
-    snap.replace_keys(spark, _t(state_dir, "knn_winners"), ["addr_id"],
-                      purge, knn_w)
+    knn_w = knn_w.persist()
+    knn_w.count()  # materialize before the concurrent splices race it
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(snap.replace_keys, spark,
+                        _t(state_dir, "pip_winners"), ["addr_id"],
+                        purge, pip_w),
+            pool.submit(snap.replace_keys, spark,
+                        _t(state_dir, "knn_winners"), ["addr_id"],
+                        purge, knn_w),
+        ]
+        for f in futs:
+            f.result()
     pip_w.unpersist()
+    knn_w.unpersist()
     sub_addr.unpersist()
     sub_bld.unpersist()
     old_changed.unpersist()

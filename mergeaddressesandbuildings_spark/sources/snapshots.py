@@ -118,7 +118,13 @@ def _write_data_dir(df: DataFrame, table_dir: str,
     return its frozen (file list, row count). Unique dir per ATTEMPT
     (not per snapshot id): a crashed commit's orphan directory must
     never collide with — or be absorbed by — the retry; only the
-    manifest makes files visible."""
+    manifest makes files visible.
+
+    Row counts come from the parquet FOOTERS (driver-side metadata
+    read, no Spark job) — the same place Iceberg manifests get their
+    per-file stats. Footer counts also land in the manifest
+    (``file_rows``), so later copy-on-write commits can account for
+    replaced files without scanning them."""
     import uuid
 
     data_dir = os.path.join(table_dir, "data",
@@ -127,14 +133,41 @@ def _write_data_dir(df: DataFrame, table_dir: str,
     files = sorted(
         os.path.join(data_dir, f) for f in os.listdir(data_dir)
         if f.endswith(".parquet"))
-    n = df.sparkSession.read.parquet(data_dir).count() if files else 0
+    n = sum(_footer_rows(f) for f in files)
     return files, n
+
+
+def _footer_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _file_rows(pm: dict, files: list[str]) -> int:
+    """Total rows in ``files`` of a manifest — from the manifest's
+    stored footer counts when present (zero I/O), else from the
+    footers directly (pre-``file_rows`` manifests)."""
+    stored = pm.get("file_rows") or {}
+    return sum(stored[f] if f in stored else _footer_rows(f)
+               for f in files)
 
 
 def _commit(table_dir: str, sid: int, parent: int | None,
             operation: str, files: list[str], added_files: list[str],
             n_rows: int, n_added: int, schema_json: dict,
             extra: dict | None = None) -> dict:
+    # per-file row counts: carried forward from the parent manifest
+    # for kept files, footer-read (driver-side, no Spark job) for the
+    # freshly written ones
+    parent_rows = {}
+    if parent is not None:
+        try:
+            parent_rows = _load_manifest(table_dir, parent).get(
+                "file_rows") or {}
+        except FileNotFoundError:
+            pass
+    file_rows = {f: (parent_rows[f] if f in parent_rows
+                     else _footer_rows(f)) for f in files}
     manifest = {
         "snapshot_id": sid,
         "parent_id": parent,
@@ -143,6 +176,7 @@ def _commit(table_dir: str, sid: int, parent: int | None,
         "added_files": added_files,
         "n_rows": n_rows,
         "n_added_rows": n_added,
+        "file_rows": file_rows,
         "schema": schema_json,
     }
     if extra:
@@ -244,7 +278,7 @@ def merge_upsert(changes: DataFrame, table_dir: str,
                      .join(keys, key_cols, "left_anti")
                      .select(*table_cols))
         rewritten = survivors.unionByName(upserts)
-        n_affected_rows = spark.read.parquet(*affected).count()
+        n_affected_rows = _file_rows(pm, affected)
     else:
         rewritten = upserts
         n_affected_rows = 0
@@ -316,7 +350,7 @@ def replace_keys(spark: SparkSession, table_dir: str,
         parts.append(spark.read.parquet(*affected)
                      .join(purge, key_cols, "left_anti")
                      .select(*table_cols))
-        n_affected_rows = spark.read.parquet(*affected).count()
+        n_affected_rows = _file_rows(pm, affected)
     if inserts is not None:
         parts.append(inserts.select(*table_cols))
     if parts:
@@ -362,7 +396,7 @@ def compact_files(spark: SparkSession, table_dir: str,
     total = sum(os.path.getsize(f) for f in small)
     nparts = target_partitions or max(1, total // small_file_bytes)
     src = spark.read.parquet(*small)
-    n_small = src.count()
+    n_small = _file_rows(pm, small)
     new_files, n_new = _write_data_dir(
         src.repartition(nparts), table_dir, sid)
     if n_new != n_small:
