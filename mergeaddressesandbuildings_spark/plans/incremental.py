@@ -15,8 +15,9 @@ a url-level change set can be SPLICED in:
       buildings    post-J3 survivors ∪ existing ways,
                    keyed by url ('osm://existing' rows
                    are the static OSM state)              [O(elems)]
-      pip_winners  §8.4(1) winners, keyed by addr_id      [O(elems)]
-      knn_winners  §8.4(2) winners, keyed by addr_id      [O(elems)]
+      pip_winners  §8.4(1) winners + the address CELL,
+                   keyed and range-clustered by cell      [O(elems)]
+      knn_winners  §8.4(2) winners, same layout           [O(elems)]
       ex_nodes     existing OSM address nodes (static)
       meta.json    the merge parameters the state was built with
                    (level, cutoff, …) — an increment MUST reuse them
@@ -34,8 +35,15 @@ Morton-ring expansion gives an EXACT affected closure:
              candidate for a ring1 address has a cover cell ∈ ring2
 
 so the spatial join re-runs ONLY over (addresses in ring1) ×
-(buildings covering ring2), and the winner tables are spliced by
-addr_id. Decisions CANNOT be spliced — §8.4's per-building vote
+(buildings covering ring2), and the winner tables are spliced BY
+CELL: every winner that can change sits in a ring1 cell (sub
+addresses by construction; removed urls' addresses because their
+cells are in base ⊆ ring1), so "delete ring1 cells, insert the
+sub-run's winners" is exact — and since the winner tables are
+range-clustered by cell, the copy-on-write rewrite touches only the
+ring-intersecting files, not the table (an addr_id key would
+hash-scatter a spatially-local purge across EVERY file). Decisions
+CANNOT be spliced — §8.4's per-building vote
 (conflict/keep-node/merged) aggregates over ALL addresses assigned to
 a building, so one spliced winner can flip the decision of an
 untouched address — therefore decisions/output-sets/tiling recompute
@@ -90,6 +98,21 @@ def _meta_path(state_dir: str) -> str:
     return os.path.join(state_dir, "meta.json")
 
 
+_LOCALIZE_CAP = 500_000
+
+
+def _localize(df: DataFrame, cap: int = _LOCALIZE_CAP) -> DataFrame:
+    """Collect a small frame into a LocalRelation (falls back to the
+    distributed frame above ``cap`` rows). Local key sets broadcast in
+    every downstream join and carry no lineage — which immunizes the
+    splice plans against the analyzer's attribute-deduplication
+    defeating cache lookup on shared subtrees (apply_delta notes)."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return df
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def _closure_rings(cell_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """distinct base cells → (ring1, ring2): one and two rounds of
     8-neighbor Morton expansion (T3's numpy kernel, same
@@ -113,9 +136,14 @@ def _closure_rings(cell_df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     ringed = (cell_df.select("cell").distinct()
               .mapInPandas(run, "cell long, ring int")
-              .groupBy("cell").agg(F.min("ring").alias("ring")))
-    ring2 = ringed.select("cell")
-    ring1 = ringed.filter(F.col("ring") == 1).select("cell")
+              .groupBy("cell").agg(F.min("ring").alias("ring"))
+              .persist())
+    try:
+        ring2 = _localize(ringed.select("cell"))
+        ring1 = _localize(ringed.filter(F.col("ring") == 1)
+                          .select("cell"))
+    finally:
+        ringed.unpersist()
     return ring1, ring2
 
 
@@ -135,7 +163,9 @@ def _winners(spark: SparkSession, addresses: DataFrame,
              broadcast_max: int) -> tuple[DataFrame, DataFrame]:
     """The J1→J2 winner pass of plans/merge.py over an arbitrary
     (addresses, buildings) slice — identical strategy choices, so the
-    sub-run of an increment picks bit-identical winners."""
+    sub-run of an increment picks bit-identical winners. Winners come
+    back with the address ``cell`` attached (the state tables' splice
+    key)."""
     n_bld = buildings.count()
     broadcast_idx = None
     if n_bld <= broadcast_max:
@@ -146,10 +176,11 @@ def _winners(spark: SparkSession, addresses: DataFrame,
                 "min_lat", "min_lon", "max_lat", "max_lon", "area_m2",
             ).toPandas()
         )
+    acells = addresses.select("addr_id", "cell")
     pip = sj.pip_candidates(addresses, buildings,
                             broadcast_index=broadcast_idx,
                             salt_threshold=salt_threshold)
-    pip_w = sj.pick_pip_winner(pip)
+    pip_w = sj.pick_pip_winner(pip).join(acells, "addr_id")
     pip_w = pip_w.persist()
     pip_w.count()
     unmatched = addresses.join(pip_w.select("addr_id"), "addr_id",
@@ -157,7 +188,7 @@ def _winners(spark: SparkSession, addresses: DataFrame,
     knn = sj.knn_candidates(unmatched, buildings, cutoff_m=knn_cutoff_m,
                             level=level, broadcast_index=broadcast_idx,
                             salt_threshold=salt_threshold)
-    knn_w = sj.pick_knn_winner(knn)
+    knn_w = sj.pick_knn_winner(knn).join(acells, "addr_id")
     return pip_w, knn_w
 
 
@@ -215,12 +246,15 @@ def full_build(spark: SparkSession, pages: DataFrame,
 
     pip_w, knn_w = _winners(spark, addresses, buildings, level,
                             knn_cutoff_m, salt_threshold, broadcast_max)
-    m_pip = snap.write_snapshot(pip_w.repartition(nfiles, "addr_id"),
-                                _t(state_dir, "pip_winners"),
-                                mode="overwrite")
-    m_knn = snap.write_snapshot(knn_w.repartition(nfiles, "addr_id"),
-                                _t(state_dir, "knn_winners"),
-                                mode="overwrite")
+    # RANGE-cluster the winner tables by cell: an increment's purge
+    # set is a set of spatially-local cells, so range clustering keeps
+    # the copy-on-write rewrite to the ring-intersecting files
+    m_pip = snap.write_snapshot(
+        pip_w.repartitionByRange(nfiles, "cell"),
+        _t(state_dir, "pip_winners"), mode="overwrite")
+    m_knn = snap.write_snapshot(
+        knn_w.repartitionByRange(nfiles, "cell"),
+        _t(state_dir, "knn_winners"), mode="overwrite")
     pip_w.unpersist()
 
     meta = {"level": level, "knn_cutoff_m": knn_cutoff_m,
@@ -239,12 +273,30 @@ def apply_delta(spark: SparkSession, page_changes: DataFrame,
     docstring: contract, closure math). Returns delta metrics —
     notably ``n_affected_addresses`` / ``n_sub_buildings``, the actual
     recompute scope, vs ``n_addresses_total``."""
+    import time as _time
+
     with open(_meta_path(state_dir)) as f:
         meta = json.load(f)
     level = meta["level"]
+    timings: dict[str, float] = {}
+    _t0 = _time.monotonic()
+
+    def _lap(stage: str) -> None:
+        nonlocal _t0
+        now = _time.monotonic()
+        timings[stage] = round(now - _t0, 2)
+        _t0 = now
 
     has_del = deleted_col in page_changes.columns
-    changed_urls = page_changes.select("url").distinct()
+    # LOCALIZE the changed-url set (delta-sized): a local frame
+    # broadcasts in every downstream join, and — decisive here — its
+    # plan shares no subtree with the insert frames' lineage. Shared
+    # subtrees across a union/join make Spark's analyzer deduplicate
+    # attribute ids, and the rewritten branch no longer matches its
+    # cache entry, silently recomputing the whole upstream pipeline
+    # (measured: a 0.3 s purge became 36 s). Same treatment for the
+    # closure rings below.
+    changed_urls = _localize(page_changes.select("url").distinct())
     upserts = page_changes
     if has_del:
         upserts = upserts.filter(
@@ -257,19 +309,21 @@ def apply_delta(spark: SparkSession, page_changes: DataFrame,
     new_records = extract.extract_records(upserts, level=level)
     new_records = new_records.persist()
     n_new_records = new_records.count()
+    _lap("extract_delta")
 
     records_tbl = _t(state_dir, "records")
     old_changed = (snap.read_snapshot(spark, records_tbl)
                    .join(changed_urls, "url", "left_semi")
                    .persist())
     n_old_records = old_changed.count()
+    _lap("old_records")
 
-    # affected closure (module docstring): base → ring1 → ring2
+    # affected closure (module docstring): base → ring1 → ring2,
+    # localized (see changed_urls note; ring sizes are O(25 × base))
     base = _record_cells(old_changed).unionByName(
         _record_cells(new_records)).distinct()
     ring1, ring2 = _closure_rings(base)
-    ring1 = ring1.persist()
-    ring2 = ring2.persist()
+    _lap("closure_rings")
 
     # splice the element tables by url (replace_keys: delete-then-
     # insert). The three tables are independent — their commits run
@@ -285,19 +339,26 @@ def apply_delta(spark: SparkSession, page_changes: DataFrame,
     bld_delta = dedupe.dedupe_buildings(bld_delta, ex_ways)
     from concurrent.futures import ThreadPoolExecutor
 
+    # inserts_covered: every insert row's url IS a changed url by
+    # construction (the inserts derive from the upsert half of the
+    # change set)
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [
             pool.submit(snap.replace_keys, spark, records_tbl, ["url"],
-                        changed_urls, new_records),
+                        changed_urls, new_records,
+                        inserts_covered=True),
             pool.submit(snap.replace_keys, spark,
                         _t(state_dir, "addresses"), ["url"],
-                        changed_urls, addr_delta),
+                        changed_urls, addr_delta,
+                        inserts_covered=True),
             pool.submit(snap.replace_keys, spark,
                         _t(state_dir, "buildings"), ["url"],
-                        changed_urls, bld_delta),
+                        changed_urls, bld_delta,
+                        inserts_covered=True),
         ]
         for f in futs:
             f.result()
+    _lap("element_splices")
     new_records.unpersist()
 
     # recompute winners on the closure slice only
@@ -314,30 +375,33 @@ def apply_delta(spark: SparkSession, page_changes: DataFrame,
     sub_bld = buildings.join(sub_bld_ids, "building_id", "left_semi") \
                        .persist()
     n_sub_bld = sub_bld.count()
+    _lap("closure_slices")
 
     pip_w, knn_w = _winners(spark, sub_addr, sub_bld, level,
                             meta["knn_cutoff_m"], meta["salt_threshold"],
                             meta["broadcast_max"])
 
-    # purge = every addr whose winner may have changed: the closure
-    # slice (recomputed → reinserted) ∪ every addr id the changed urls
-    # USED to contribute (deleted urls' rows drop to nothing)
-    purge = sub_addr.select("addr_id").unionByName(
-        old_changed.filter(F.col("kind") == "address")
-        .select(F.col("id").alias("addr_id"))).distinct()
+    # splice winners BY CELL (module docstring): every winner that can
+    # change sits in a ring1 cell, so the purge key set is ring1
+    # itself — a few hundred rows — and the cell-range-clustered
+    # tables rewrite only their ring-intersecting files
     knn_w = knn_w.persist()
     knn_w.count()  # materialize before the concurrent splices race it
+    _lap("winners")
+    # inserts_covered: every sub-run winner's cell ∈ ring1 (sub
+    # addresses are the ring1 semi-join by construction)
     with ThreadPoolExecutor(max_workers=2) as pool:
         futs = [
             pool.submit(snap.replace_keys, spark,
-                        _t(state_dir, "pip_winners"), ["addr_id"],
-                        purge, pip_w),
+                        _t(state_dir, "pip_winners"), ["cell"],
+                        ring1, pip_w, inserts_covered=True),
             pool.submit(snap.replace_keys, spark,
-                        _t(state_dir, "knn_winners"), ["addr_id"],
-                        purge, knn_w),
+                        _t(state_dir, "knn_winners"), ["cell"],
+                        ring1, knn_w, inserts_covered=True),
         ]
         for f in futs:
             f.result()
+    _lap("winner_splices")
     pip_w.unpersist()
     knn_w.unpersist()
     sub_addr.unpersist()
@@ -352,9 +416,8 @@ def apply_delta(spark: SparkSession, page_changes: DataFrame,
         "n_addresses_total": n_addr_total,
         "affected_fraction": (n_sub_addr / n_addr_total
                               if n_addr_total else 0.0),
+        "stage_s": timings,
     }
-    ring1.unpersist()
-    ring2.unpersist()
     return out
 
 
@@ -370,8 +433,12 @@ def current_outputs(spark: SparkSession, state_dir: str,
         meta = json.load(f)
     addresses = snap.read_snapshot(spark, _t(state_dir, "addresses"))
     buildings = snap.read_snapshot(spark, _t(state_dir, "buildings"))
-    pip_w = snap.read_snapshot(spark, _t(state_dir, "pip_winners"))
-    knn_w = snap.read_snapshot(spark, _t(state_dir, "knn_winners"))
+    # the stored winners carry their splice key (cell) — drop it
+    # before assign, whose address join brings its own cell column
+    pip_w = snap.read_snapshot(spark, _t(state_dir, "pip_winners")) \
+        .drop("cell")
+    knn_w = snap.read_snapshot(spark, _t(state_dir, "knn_winners")) \
+        .drop("cell")
 
     assignments = dec.assign(addresses, pip_w, knn_w, buildings)
     assignments = assignments.persist()

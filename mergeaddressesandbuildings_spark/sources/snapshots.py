@@ -292,7 +292,8 @@ def merge_upsert(changes: DataFrame, table_dir: str,
 
 def replace_keys(spark: SparkSession, table_dir: str,
                  key_cols: list[str], keys: DataFrame,
-                 inserts: DataFrame | None = None) -> dict:
+                 inserts: DataFrame | None = None,
+                 inserts_covered: bool = False) -> dict:
     """Keyed DELETE-then-INSERT with file-level copy-on-write: every
     current row whose key appears in ``keys`` (or in ``inserts``) is
     removed, then ALL ``inserts`` rows are added, as one new snapshot.
@@ -307,6 +308,16 @@ def replace_keys(spark: SparkSession, table_dir: str,
     matched key are rewritten; untouched files carry into the new
     manifest by reference, so commit cost is O(delta + hit files), not
     O(table).
+
+    ``inserts_covered=True`` declares that every insert row's key
+    already appears in ``keys`` (the caller's contract — e.g. the
+    incremental merge purges by closure cells that cover its inserts
+    by construction). The purge set is then ``keys`` ALONE, which
+    matters beyond the saved union: when ``keys`` is a small local
+    frame, every downstream join broadcasts it, and the purge plan
+    never touches the inserts' (possibly expensive) lineage. Setting
+    it when the contract does NOT hold duplicates rows for uncovered
+    insert keys.
     """
     from pyspark.sql import functions as F
 
@@ -326,7 +337,7 @@ def replace_keys(spark: SparkSession, table_dir: str,
         raise ValueError(f"key columns {missing} not in table schema")
 
     purge = keys.select(*key_cols)
-    if inserts is not None:
+    if inserts is not None and not inserts_covered:
         purge = purge.unionByName(inserts.select(*key_cols))
     purge = purge.distinct()
 
@@ -357,6 +368,11 @@ def replace_keys(spark: SparkSession, table_dir: str,
         rewritten = parts[0]
         for p in parts[1:]:
             rewritten = rewritten.unionByName(p)
+        # survivors keep the affected files' partitioning and inserts
+        # bring their own — cap the commit at ~one output file per
+        # rewritten input file instead of their sum (coalesce: no
+        # shuffle; compact_files handles long-run small-file drift)
+        rewritten = rewritten.coalesce(max(1, len(affected)))
         new_files, n_new = _write_data_dir(rewritten, table_dir, sid)
     else:
         new_files, n_new = [], 0
