@@ -41,21 +41,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _fixture_delta(spark, args):
+def _fixture_delta(spark, args, shift: int = 0):
+    """Deterministic fixture delta; ``shift`` offsets every id range so
+    successive reps touch disjoint urls."""
     import pandas as pd
 
     from mergeaddressesandbuildings_spark.sources import pages as pg
 
     parts = []
     if args.delta_count:
-        add = pg.gen_pages_pdf(
-            range(args.delta_from, args.delta_from + args.delta_count))
+        start = args.delta_from + shift
+        add = pg.gen_pages_pdf(range(start, start + args.delta_count))
         add["deleted"] = False
         parts.append(add)
     if args.delta_modify:
         # modified urls take a far-away donor page's content (content
         # moves ⇒ old cells vacated, new cells populated)
-        ids = list(range(args.delta_modify))
+        ids = list(range(shift, shift + args.delta_modify))
         mod = pg.gen_pages_pdf([i + 10_000_000 for i in ids])
         target = {f"https://fixture.test/greenville/{i + 10_000_000:08d}":
                   f"https://fixture.test/greenville/{i:08d}" for i in ids}
@@ -63,8 +65,8 @@ def _fixture_delta(spark, args):
         mod["deleted"] = False
         parts.append(mod)
     if args.delta_delete:
-        ids = list(range(args.delta_modify,
-                         args.delta_modify + args.delta_delete))
+        ids = list(range(shift + args.delta_modify,
+                         shift + args.delta_modify + args.delta_delete))
         parts.append(pd.DataFrame({
             "url": [f"https://fixture.test/greenville/{i:08d}" for i in ids],
             "warc_ts": pd.Timestamp("2030-01-01"),
@@ -81,7 +83,8 @@ def _fixture_delta(spark, args):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["build", "delta", "outputs"])
+    ap.add_argument("cmd", choices=["build", "delta", "outputs",
+                                    "maintain"])
     ap.add_argument("--state", required=True)
     ap.add_argument("--master", default=None)
     ap.add_argument("--level", type=int, default=None)
@@ -96,6 +99,12 @@ def main() -> None:
     ap.add_argument("--delta-count", type=int, default=0)
     ap.add_argument("--delta-modify", type=int, default=0)
     ap.add_argument("--delta-delete", type=int, default=0)
+    ap.add_argument("--delta-reps", type=int, default=1,
+                    help="apply N successive fixture deltas in ONE "
+                         "driver session (each rep shifts the id "
+                         "ranges) — measures the steady-state "
+                         "per-delta cost once session/codegen warmup "
+                         "has amortized")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -133,12 +142,42 @@ def main() -> None:
     elif args.cmd == "delta":
         if args.delta_path:
             delta = catalog.read_table(spark, args.delta_path, "parquet")
+            metrics = inc.apply_delta(spark, delta, args.state)
+            out.update(metrics)
         else:
             if args.delta_from is None:
                 raise SystemExit("--delta-from required for fixture deltas")
-            delta = _fixture_delta(spark, args)
-        metrics = inc.apply_delta(spark, delta, args.state)
-        out.update(metrics)
+            walls = []
+            span = (args.delta_count + args.delta_modify
+                    + args.delta_delete)
+            for rep in range(args.delta_reps):
+                delta = _fixture_delta(spark, args, shift=rep * span)
+                t1 = time.monotonic()
+                metrics = inc.apply_delta(spark, delta, args.state)
+                walls.append(round(time.monotonic() - t1, 2))
+            out.update(metrics)  # last rep's scope metrics
+            out["rep_walls_s"] = walls
+
+    elif args.cmd == "maintain":
+        # long-run state health: every delta commit leaves rewrite
+        # files behind and pins replaced files via old manifests —
+        # compaction packs the small files, expiry reclaims the disk
+        from mergeaddressesandbuildings_spark.sources import snapshots
+
+        per_table = {}
+        for tbl in inc._TABLES:
+            tdir = os.path.join(args.state, tbl)
+            if snapshots.current_snapshot_id(tdir) is None:
+                continue
+            cm = snapshots.compact_files(spark, tdir)
+            em = snapshots.expire_snapshots(tdir, keep_last=1)
+            per_table[tbl] = {
+                "compacted_files": cm.get("n_compacted_files", 0),
+                "expired_snapshots": len(
+                    em.get("expired_snapshot_ids", [])),
+                "deleted_files": em.get("n_deleted_files", 0),
+            }
+        out["tables"] = per_table
 
     else:  # outputs
         assignments, sets, tiles, tm = inc.current_outputs(spark,

@@ -38,6 +38,12 @@ snapshots (a, b] — the incremental-consumption primitive a
 downstream training-data pipeline uses to process each new corpus
 drop exactly once (append-only chains; overwrite breaks the delta
 semantics and is rejected).
+
+RELOCATION WARNING: manifests name data files by ABSOLUTE path (as
+Iceberg manifests store absolute URIs). A table directory copied
+with cp keeps reading the ORIGINAL's files — and expiring snapshots
+on the copy deletes them. Moving a table requires rewriting the
+manifest paths, not copying the tree.
 """
 
 from __future__ import annotations

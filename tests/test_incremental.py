@@ -149,6 +149,45 @@ def test_deleted_url_rows_are_gone(spark, state):
         assert gone.count() == 0, tbl
 
 
+def test_second_delta_stays_exact(spark, state, tmp_path):
+    """Chained absorption: a SECOND delta applied to already-spliced
+    state (whose files now mix clustered originals with rewrite
+    commits) must still match a from-scratch rebuild exactly."""
+    state_dir, _, existing, root = state
+    import shutil
+
+    chain_dir = os.path.join(str(tmp_path), "state_chain")
+    shutil.copytree(state_dir, chain_dir)
+
+    add2 = pg.gen_pages_pdf(range(N_PAGES + 50, N_PAGES + 60))
+    add2["deleted"] = False
+    tomb2 = pd.DataFrame({
+        "url": [_url(ADDED[0]), _url(MODIFIED[0])],  # delete delta-1 rows
+        "warc_ts": pd.Timestamp("2031-01-01"),
+        "html": [b""] * 2, "text": [""] * 2, "lang": ["en"] * 2,
+        "deleted": True,
+    })
+    delta2 = pd.concat([add2, tomb2], ignore_index=True)
+    inc.apply_delta(spark, spark.createDataFrame(delta2), chain_dir)
+    a_inc, _, _, tm_inc = inc.current_outputs(spark, chain_dir)
+    fp_inc, n_inc = _fingerprint(a_inc, tm_inc)
+
+    # v3 corpus = v2 minus the two newly deleted urls plus the ten new
+    v2 = _pages_v2_pdf()
+    v3 = pd.concat(
+        [v2[~v2["url"].isin([_url(ADDED[0]), _url(MODIFIED[0])])],
+         add2.drop(columns=["deleted"])], ignore_index=True)
+    full_dir = os.path.join(str(tmp_path), "state_full3")
+    inc.full_build(spark, spark.createDataFrame(v3), existing, full_dir,
+                   level=LEVEL)
+    a_full, _, _, tm_full = inc.current_outputs(spark, full_dir)
+    fp_full, n_full = _fingerprint(a_full, tm_full)
+
+    assert (fp_inc, n_inc) == (fp_full, n_full)
+    a_inc.unpersist()
+    a_full.unpersist()
+
+
 def test_records_table_commit_is_file_level(state):
     """The records splice must be copy-on-write: the new snapshot
     keeps at least one untouched v1 data file by reference."""
