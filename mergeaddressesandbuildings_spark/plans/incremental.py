@@ -102,11 +102,12 @@ _LOCALIZE_CAP = 500_000
 
 
 def _localize(df: DataFrame, cap: int = _LOCALIZE_CAP) -> DataFrame:
-    """Collect a small frame into a LocalRelation (falls back to the
-    distributed frame above ``cap`` rows). Local key sets broadcast in
-    every downstream join and carry no lineage — which immunizes the
-    splice plans against the analyzer's attribute-deduplication
-    defeating cache lookup on shared subtrees (apply_delta notes)."""
+    """Collect a small frame into a driver-local leaf (an ExistingRDD
+    scan; falls back to the distributed frame above ``cap`` rows).
+    Local key sets broadcast in every downstream join and carry no
+    upstream lineage — which immunizes the splice plans against the
+    analyzer's attribute-deduplication defeating cache lookup on
+    shared subtrees (apply_delta notes)."""
     rows = df.limit(cap + 1).collect()
     if len(rows) > cap:
         return df

@@ -188,6 +188,43 @@ def test_second_delta_stays_exact(spark, state, tmp_path):
     a_full.unpersist()
 
 
+def test_splice_plan_shape(spark, state):
+    """The splice paths' scale discipline: localized key sets plan as
+    LocalTableScan and their joins against state tables BROADCAST (no
+    corpus shuffle to probe a delta-sized key set)."""
+    state_dir, _, _, _ = state
+    local = inc._localize(
+        spark.createDataFrame([(1,), (2,)], "cell long"))
+    plan = local._jdf.queryExecution().executedPlan().toString()
+    # collected rows plan as a leaf scan with no upstream lineage
+    # (PySpark renders driver-local data as an ExistingRDD scan)
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "Exchange" not in plan
+
+    addresses = snap.read_snapshot(spark,
+                                   os.path.join(state_dir, "addresses"))
+    semi = addresses.join(local, "cell", "left_semi")
+    semi.collect()  # run THIS query execution so AQE finalizes it
+    splan = semi._jdf.queryExecution().executedPlan().toString()
+    # AQE prints "== Final Plan ==" then "== Initial Plan ==" (the
+    # pre-adaptive SMJ) — judge the final section only
+    final = splan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    # and the whole closure-slice plan stays JVM-side (no Python eval)
+    assert "PythonUDF" not in final
+
+
+def test_localize_cap_falls_back(spark):
+    df = spark.range(0, 50).selectExpr("id as cell")
+    out = inc._localize(df, cap=10)
+    assert out is df  # above cap: the distributed frame comes back
+    small = inc._localize(df, cap=100)
+    splan = small._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in splan or "LocalTableScan" in splan
+    assert small.count() == 50
+
+
 def test_records_table_commit_is_file_level(state):
     """The records splice must be copy-on-write: the new snapshot
     keeps at least one untouched v1 data file by reference."""
