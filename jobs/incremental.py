@@ -99,6 +99,13 @@ def main() -> None:
     ap.add_argument("--delta-count", type=int, default=0)
     ap.add_argument("--delta-modify", type=int, default=0)
     ap.add_argument("--delta-delete", type=int, default=0)
+    ap.add_argument("--delta-shift", type=int, default=0,
+                    help="offset the fixture delta's id ranges so "
+                         "SEPARATE invocations (e.g. the local[4] and "
+                         "local[16] arms of the scaling protocol, which "
+                         "are distinct spark-submit sessions against one "
+                         "sequentially-mutated state) touch disjoint url "
+                         "slices of the same uniform spatial scatter")
     ap.add_argument("--delta-reps", type=int, default=1,
                     help="apply N successive fixture deltas in ONE "
                          "driver session (each rep shifts the id "
@@ -151,7 +158,8 @@ def main() -> None:
             span = (args.delta_count + args.delta_modify
                     + args.delta_delete)
             for rep in range(args.delta_reps):
-                delta = _fixture_delta(spark, args, shift=rep * span)
+                delta = _fixture_delta(spark, args,
+                                       shift=args.delta_shift + rep * span)
                 t1 = time.monotonic()
                 metrics = inc.apply_delta(spark, delta, args.state)
                 walls.append(round(time.monotonic() - t1, 2))

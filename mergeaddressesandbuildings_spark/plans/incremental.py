@@ -218,7 +218,7 @@ def full_build(spark: SparkSession, pages: DataFrame,
     records = extract.extract_records(pages, level=level) \
         .repartition(nfiles, "url")
     m_rec = snap.write_snapshot(records, _t(state_dir, "records"),
-                                mode="overwrite")
+                                mode="overwrite", cluster_by=["url"])
     records = snap.read_snapshot(spark, _t(state_dir, "records"))
 
     addresses, new_buildings = extract.split_records(records)
@@ -238,10 +238,10 @@ def full_build(spark: SparkSession, pages: DataFrame,
 
     m_addr = snap.write_snapshot(addresses.repartition(nfiles, "url"),
                                  _t(state_dir, "addresses"),
-                                 mode="overwrite")
+                                 mode="overwrite", cluster_by=["url"])
     m_bld = snap.write_snapshot(buildings.repartition(nfiles, "url"),
                                 _t(state_dir, "buildings"),
-                                mode="overwrite")
+                                mode="overwrite", cluster_by=["url"])
     addresses = snap.read_snapshot(spark, _t(state_dir, "addresses"))
     buildings = snap.read_snapshot(spark, _t(state_dir, "buildings"))
 
@@ -252,10 +252,12 @@ def full_build(spark: SparkSession, pages: DataFrame,
     # the copy-on-write rewrite to the ring-intersecting files
     m_pip = snap.write_snapshot(
         pip_w.repartitionByRange(nfiles, "cell"),
-        _t(state_dir, "pip_winners"), mode="overwrite")
+        _t(state_dir, "pip_winners"), mode="overwrite",
+        cluster_by=["cell"], cluster_kind="range")
     m_knn = snap.write_snapshot(
         knn_w.repartitionByRange(nfiles, "cell"),
-        _t(state_dir, "knn_winners"), mode="overwrite")
+        _t(state_dir, "knn_winners"), mode="overwrite",
+        cluster_by=["cell"], cluster_kind="range")
     pip_w.unpersist()
 
     meta = {"level": level, "knn_cutoff_m": knn_cutoff_m,
@@ -367,14 +369,27 @@ def apply_delta(spark: SparkSession, page_changes: DataFrame,
     buildings = snap.read_snapshot(spark, _t(state_dir, "buildings"))
     n_addr_total = addresses.count()
 
-    sub_addr = addresses.join(ring1, "cell", "left_semi").persist()
+    # widen the slices to the session's parallelism BEFORE caching:
+    # the semi-join inherits the snapshot scan's partitioning (ring1
+    # broadcasts), i.e. the table's FILE count — after maintenance
+    # that can be far below the core count, and every map stage of the
+    # winner recompute (pack/explode/salt before the cogroup shuffle)
+    # would then run nearly serial. One bounded shuffle here buys full
+    # parallelism for the expensive Arrow kernels downstream.
+    par = spark.sparkContext.defaultParallelism
+    sub_addr = addresses.join(ring1, "cell", "left_semi")
+    if sub_addr.rdd.getNumPartitions() < par:
+        sub_addr = sub_addr.repartition(par * 2)
+    sub_addr = sub_addr.persist()
     n_sub_addr = sub_addr.count()
     sub_bld_ids = (buildings
                    .select("building_id", F.explode("cells").alias("cell"))
                    .join(ring2, "cell", "left_semi")
                    .select("building_id").distinct())
-    sub_bld = buildings.join(sub_bld_ids, "building_id", "left_semi") \
-                       .persist()
+    sub_bld = buildings.join(sub_bld_ids, "building_id", "left_semi")
+    if sub_bld.rdd.getNumPartitions() < par:
+        sub_bld = sub_bld.repartition(par * 2)
+    sub_bld = sub_bld.persist()
     n_sub_bld = sub_bld.count()
     _lap("closure_slices")
 

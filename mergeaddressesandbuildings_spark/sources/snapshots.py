@@ -86,17 +86,36 @@ def _load_manifest(table_dir: str, sid: int) -> dict:
 
 
 def write_snapshot(df: DataFrame, table_dir: str,
-                   mode: str = "append") -> dict:
+                   mode: str = "append",
+                   cluster_by: list[str] | None = None,
+                   cluster_kind: str = "hash") -> dict:
     """Commit ``df`` as a new snapshot; returns the manifest dict.
 
     ``mode="append"`` adds to the current file list;
     ``mode="overwrite"`` replaces it (old data files stay on disk and
     remain readable through their snapshots — time travel over an
     overwrite works).
+
+    ``cluster_by`` records the table's physical clustering contract in
+    the manifest (Iceberg: a table's sort/partition spec lives in table
+    metadata, not in the writer's head): the caller promises ``df`` is
+    laid out by these columns (``cluster_kind``: "hash" for
+    ``repartition(n, cols)``, "range" for ``repartitionByRange``).
+    Maintenance operations (``replace_keys`` rewrites,
+    ``compact_files``) read it back to PRESERVE that layout — without
+    it, every rewrite round-robins rows across files, which both
+    destroys key→file locality (copy-on-write then rewrites every
+    file on every delta) and breaks parquet run-length/dictionary
+    encoding (measured 4.3x on-disk bloat after 9 splice commits).
+    When omitted, an append inherits the parent's contract.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     parent = current_snapshot_id(table_dir)
+    cb = {"cols": list(cluster_by), "kind": cluster_kind} \
+        if cluster_by else None
+    if cb is None and mode == "append" and parent is not None:
+        cb = _load_manifest(table_dir, parent).get("cluster_by")
     sid = _next_sid(table_dir, parent)
     new_files, n_new = _write_data_dir(df, table_dir, sid)
     if mode == "append" and parent is not None:
@@ -106,7 +125,8 @@ def write_snapshot(df: DataFrame, table_dir: str,
     else:
         files, n_rows = new_files, n_new
     return _commit(table_dir, sid, parent, mode, files, new_files,
-                   n_rows, n_new, json.loads(df.schema.json()))
+                   n_rows, n_new, json.loads(df.schema.json()),
+                   cluster_by=cb)
 
 
 def _next_sid(table_dir: str, parent: int | None) -> int:
@@ -161,7 +181,8 @@ def _file_rows(pm: dict, files: list[str]) -> int:
 def _commit(table_dir: str, sid: int, parent: int | None,
             operation: str, files: list[str], added_files: list[str],
             n_rows: int, n_added: int, schema_json: dict,
-            extra: dict | None = None) -> dict:
+            extra: dict | None = None,
+            cluster_by: dict | None = None) -> dict:
     # per-file row counts: carried forward from the parent manifest
     # for kept files, footer-read (driver-side, no Spark job) for the
     # freshly written ones
@@ -184,6 +205,7 @@ def _commit(table_dir: str, sid: int, parent: int | None,
         "n_added_rows": n_added,
         "file_rows": file_rows,
         "schema": schema_json,
+        "cluster_by": cluster_by,
     }
     if extra:
         manifest.update(extra)
@@ -288,12 +310,14 @@ def merge_upsert(changes: DataFrame, table_dir: str,
     else:
         rewritten = upserts
         n_affected_rows = 0
+    rewritten = _restore_sort(rewritten, pm.get("cluster_by"))
     new_files, n_new = _write_data_dir(rewritten, table_dir, sid)
     return _commit(
         table_dir, sid, cur_sid, "merge", kept + new_files, new_files,
         pm["n_rows"] - n_affected_rows + n_new, n_new, schema_json,
         extra={"n_rewritten_files": len(affected),
-               "n_kept_files": len(kept)})
+               "n_kept_files": len(kept)},
+        cluster_by=pm.get("cluster_by"))
 
 
 def replace_keys(spark: SparkSession, table_dir: str,
@@ -377,8 +401,14 @@ def replace_keys(spark: SparkSession, table_dir: str,
         # survivors keep the affected files' partitioning and inserts
         # bring their own — cap the commit at ~one output file per
         # rewritten input file instead of their sum (coalesce: no
-        # shuffle; compact_files handles long-run small-file drift)
-        rewritten = rewritten.coalesce(max(1, len(affected)))
+        # shuffle; compact_files handles long-run small-file drift),
+        # then locally re-sort to the table's clustering contract so
+        # repeated splices don't decay parquet encoding (measured:
+        # 4.3x on-disk bloat after 9 unsorted splice commits, which
+        # also collapses downstream scan parallelism)
+        rewritten = _restore_sort(
+            rewritten.coalesce(max(1, len(affected))),
+            pm.get("cluster_by"))
         new_files, n_new = _write_data_dir(rewritten, table_dir, sid)
     else:
         new_files, n_new = [], 0
@@ -386,25 +416,52 @@ def replace_keys(spark: SparkSession, table_dir: str,
         table_dir, sid, cur_sid, "replace", kept + new_files, new_files,
         pm["n_rows"] - n_affected_rows + n_new, n_new, pm["schema"],
         extra={"n_rewritten_files": len(affected),
-               "n_kept_files": len(kept)})
+               "n_kept_files": len(kept)},
+        cluster_by=pm.get("cluster_by"))
+
+
+def _restore_sort(df: DataFrame, cb: dict | None) -> DataFrame:
+    """Local (shuffle-free) re-sort to a table's clustering contract
+    before a rewrite lands on disk — keeps parquet RLE/dictionary
+    pages long-run across repeated copy-on-write commits."""
+    if cb and cb.get("cols"):
+        return df.sortWithinPartitions(*cb["cols"])
+    return df
 
 
 def compact_files(spark: SparkSession, table_dir: str,
                   small_file_bytes: int = 32 * 1024 * 1024,
                   target_partitions: int | None = None) -> dict:
     """Bin-pack small data files (Iceberg's ``rewrite_data_files``):
-    every file under ``small_file_bytes`` is read back, repartitioned
-    down (default: total small bytes // small_file_bytes, min 1), and
-    committed as a ``compact`` snapshot whose row set is IDENTICAL to
-    the parent's — only the file layout changes. Files at or above the
-    threshold ride into the new manifest by reference.
+    every file under ``small_file_bytes`` is read back, repartitioned,
+    and committed as a ``compact`` snapshot whose row set is IDENTICAL
+    to the parent's — only the file layout changes. Files at or above
+    the threshold ride into the new manifest by reference.
 
     This is the operational answer to the small-file problem an
     append-heavy 10^12-row table accumulates: scan-task count (and
     thus scheduler + open() overhead) tracks FILE count, not row
     count. Row-identity is verified before the commit is made visible
     (count of rewritten output vs count of compacted inputs — both
-    bounded actions over the small files only)."""
+    bounded actions over the small files only).
+
+    Two layout properties are deliberately preserved:
+
+    - **Scan parallelism floor.** Pure bin-packing to
+      ``total // small_file_bytes`` files can collapse a whole table
+      into 1-5 files; parquet splits only at
+      ``spark.sql.files.maxPartitionBytes`` boundaries, so every
+      downstream MAP stage (the work before the first shuffle) then
+      runs at 1-5 tasks regardless of cores (measured: the incremental
+      merge's winner recompute went 4x slower and stopped scaling 4→16
+      cores after a floor-less compaction). The output file count is
+      floored at ``defaultParallelism`` as long as files stay ≥ 1 MiB.
+    - **Clustering contract.** When the manifest records ``cluster_by``
+      (see :func:`write_snapshot`), the rewrite re-partitions BY THOSE
+      COLUMNS (hash or range, as declared) and locally sorts — so
+      key→file locality (what keeps copy-on-write rewrites bounded)
+      and parquet encoding both survive maintenance instead of rotting
+      monotonically with each compaction."""
     cur = current_snapshot_id(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table_dir}")
@@ -416,11 +473,23 @@ def compact_files(spark: SparkSession, table_dir: str,
     kept = [f for f in pm["files"] if f not in set(small)]
     sid = _next_sid(table_dir, cur)
     total = sum(os.path.getsize(f) for f in small)
-    nparts = target_partitions or max(1, total // small_file_bytes)
+    nparts = target_partitions or max(
+        1,
+        total // small_file_bytes,
+        min(spark.sparkContext.defaultParallelism, total // (1 << 20)),
+    )
     src = spark.read.parquet(*small)
+    cb = pm.get("cluster_by")
+    if cb and cb.get("cols"):
+        cols = cb["cols"]
+        src = (src.repartitionByRange(nparts, *cols)
+               if cb.get("kind") == "range"
+               else src.repartition(nparts, *cols))
+        src = src.sortWithinPartitions(*cols)
+    else:
+        src = src.repartition(nparts)
     n_small = _file_rows(pm, small)
-    new_files, n_new = _write_data_dir(
-        src.repartition(nparts), table_dir, sid)
+    new_files, n_new = _write_data_dir(src, table_dir, sid)
     if n_new != n_small:
         raise RuntimeError(
             f"compaction row-identity check failed: {n_small} rows in, "
@@ -430,7 +499,8 @@ def compact_files(spark: SparkSession, table_dir: str,
         table_dir, sid, cur, "compact", kept + new_files, new_files,
         pm["n_rows"], n_new, pm["schema"],
         extra={"n_compacted_files": len(small),
-               "n_kept_files": len(kept)})
+               "n_kept_files": len(kept)},
+        cluster_by=cb)
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:

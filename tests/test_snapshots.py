@@ -242,3 +242,62 @@ def test_expire_guard(spark, tdir):
                      tdir)
     with pytest.raises(ValueError):
         S.expire_snapshots(tdir, keep_last=0)
+
+
+# ------------------------------------- clustering-contract survival
+
+
+def test_cluster_by_survives_maintenance(spark, tdir):
+    """The manifest's cluster_by contract (write_snapshot docstring)
+    must survive replace_keys rewrites and compact_files, files must
+    come out locally SORTED by the cluster columns (parquet encoding),
+    and compaction must not collapse a multi-MB table below the
+    session's scan parallelism (the measured 4x winner-recompute
+    slowdown: floor-less bin-packing left 5 unsplittable files, so
+    every pre-shuffle map stage ran ~serial)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    # ~400k rows with an incompressible payload -> a table big enough
+    # (>#cores MiB) for the parallelism floor to be observable
+    df = (spark.range(400_000)
+          .withColumn("url", F.concat(F.lit("u"),
+                                      (F.col("id") % 1000).cast("string")))
+          .withColumn("payload", F.sha2(F.col("id").cast("string"), 256)))
+    m0 = S.write_snapshot(df.repartition(8, "url"), tdir,
+                          mode="overwrite", cluster_by=["url"])
+    assert m0["cluster_by"] == {"cols": ["url"], "kind": "hash"}
+
+    # keyed splice: contract carried, rewrite locally sorted
+    keys = spark.createDataFrame([("u7",), ("u13",)], ["url"])
+    ins = (spark.range(50)
+           .withColumn("url", F.lit("u7"))
+           .withColumn("payload", F.lit("x"))
+           .select("id", "url", "payload"))
+    m1 = S.replace_keys(spark, tdir, ["url"], keys, ins)
+    assert m1["cluster_by"] == {"cols": ["url"], "kind": "hash"}
+
+    before = S.read_snapshot(spark, tdir)
+    n_before = before.count()
+    m2 = S.compact_files(spark, tdir, small_file_bytes=512 << 20)
+    assert m2["cluster_by"] == {"cols": ["url"], "kind": "hash"}
+    assert S.read_snapshot(spark, tdir).count() == n_before
+
+    # parallelism floor: a ~25 MB table must not collapse to 1-2 files
+    dp = spark.sparkContext.defaultParallelism
+    total_mb = sum(os.path.getsize(f) for f in m2["files"]) >> 20
+    assert len(m2["files"]) >= min(dp, max(1, total_mb))
+
+    # every compacted file is internally sorted by the cluster column
+    # (what keeps RLE/dictionary pages long-run across maintenance)
+    for f in m2["added_files"]:
+        urls = pq.read_table(f, columns=["url"])["url"].to_pylist()
+        assert urls == sorted(urls), f"unsorted cluster col in {f}"
+
+    # hash clustering: each key maps to exactly one compacted file
+    hits = {}
+    for f in m2["added_files"]:
+        for u in set(pq.read_table(f, columns=["url"])["url"].to_pylist()):
+            hits.setdefault(u, set()).add(f)
+    assert all(len(fs) == 1 for fs in hits.values()), \
+        "a url hash bucket was split across compacted files"
