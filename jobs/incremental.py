@@ -179,11 +179,19 @@ def main() -> None:
                 continue
             cm = snapshots.compact_files(spark, tdir)
             em = snapshots.expire_snapshots(tdir, keep_last=1)
+            # post-maintenance layout health: live file count and
+            # bytes are the early-warning signal for layout rot
+            # (encoding bloat / parallelism collapse — see
+            # BENCH/BASELINE.md round-3 part 6)
+            live = cm.get("files", [])
             per_table[tbl] = {
                 "compacted_files": cm.get("n_compacted_files", 0),
                 "expired_snapshots": len(
                     em.get("expired_snapshot_ids", [])),
                 "deleted_files": em.get("n_deleted_files", 0),
+                "live_files": len(live),
+                "live_bytes": sum(os.path.getsize(f) for f in live),
+                "cluster_by": cm.get("cluster_by"),
             }
         out["tables"] = per_table
 
