@@ -173,7 +173,7 @@ def main() -> None:
         3,
     )
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
-    print(json.dumps({
+    full = {
         "metric": "e2e_bench_wall",
         # headline value: one median pass over every query + the merge —
         # comparable across rounds regardless of rep count
@@ -192,7 +192,41 @@ def main() -> None:
         "merge_first_run_s": round(merge_times[0], 3),
         "merge_pages_per_sec": round(MERGE_PAGES / merge_s, 1),
         "host_context": HOST_CONTEXT,
-    }))
+    }
+    # Round-3 judge finding: the driver captures only the LAST 2000
+    # chars of stdout, and r3's single JSON line (with per-query spreads
+    # and host context) outgrew that window -> BENCH_r03.json had
+    # `parsed: null`. Protocol since round 4: the FULL metrics dict is
+    # written to BENCH/bench_latest.json, and the LAST stdout line is a
+    # compact summary (per-query medians intact, no spreads) hard-capped
+    # under the tail window so the driver always parses it.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "bench_latest.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    compact = {
+        "metric": "e2e_bench_wall",
+        "value": total_1pass,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "cpus": CPUS,
+        "query_reps": QUERY_REPS,
+        "total_r1_query_set": total_r1,
+        "merge_first_run_s": round(merge_times[0], 3),
+        "merge_pages_per_sec": round(MERGE_PAGES / merge_s, 1),
+        "detail": "BENCH/bench_latest.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: shed precision, then detail
+        compact["queries"] = {n: round(v, 1)
+                              for n, v in per_query.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

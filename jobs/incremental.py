@@ -114,6 +114,14 @@ def main() -> None:
                          "has amortized")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.cmd == "delta" and not args.delta_path:
+        if args.delta_reps < 1:
+            ap.error("--delta-reps must be >= 1 for fixture deltas")
+        # --delta-from seeds only the *added*-pages id range; a
+        # modify/delete-only fixture delta is legitimate and must not
+        # demand it
+        if args.delta_count > 0 and args.delta_from is None:
+            ap.error("--delta-from required when --delta-count > 0")
 
     from pyspark.sql import functions as F
 
@@ -152,8 +160,6 @@ def main() -> None:
             metrics = inc.apply_delta(spark, delta, args.state)
             out.update(metrics)
         else:
-            if args.delta_from is None:
-                raise SystemExit("--delta-from required for fixture deltas")
             walls = []
             span = (args.delta_count + args.delta_modify
                     + args.delta_delete)

@@ -3831,207 +3831,74 @@ def user_week_gapfill(spark, sf_dir):
 
 
 _DRIVER_WINDOW_TAIL = [
-    "snapshot_time_travel",       # manifest-layer coverage stays in
-                                  # window via snapshot_merge_upsert
-                                  # (two commits + merge + current-read
-                                  # through the same manifest chain);
-                                  # isolation itself is pytest-asserted
-                                  # file-for-file; r3 driver green
-                                  # (displaced for snapshot_merge_upsert)
-    "doc_bpe_encode",             # parked on arrival: the BPE kernel
-                                  # (sentinel-wrapped replace) is
-                                  # window-covered by bpe_merges; encode
-                                  # is its map-side application — pytest
-                                  # parity + the sf0.01 oracle rehearsal
-                                  # keep it continuously checked
-    "salted_order_join",          # parked on arrival: its RESULT kernel
-                                  # (fact-dim equi-join) is window-covered
-                                  # by nation_supplier_stats +
-                                  # broadcast_nation_join; the salting is
-                                  # plan-layout behaviour that the driver
-                                  # hash can't see — pytest asserts it
-                                  # (test_skewjoin) and the sf0.01 oracle
-                                  # rehearsal keeps it continuously checked
-    "doc_repetition_stats",       # hash-green r2 (unchanged oracle);
-                                  # array/aggregate text kernel stays
-                                  # in window via doc_ngram_coverage
-                                  # (displaced for cms_part_quantity)
-    "ann_cosine_topk",            # hash-green r2 (unchanged oracle);
-                                  # brute cosine fold stays in window
-                                  # via ann_cosine_ivf +
-                                  # embedding_near_dup_lsh (displaced
-                                  # for bloom_filtered_orders)
-    "simhash_near_pairs",         # hash-green r2 (unchanged oracle);
-                                  # banded/blocked near-dup join stays
-                                  # in window via minhash_lsh_pairs
-                                  # (displaced for pmi_collocations)
-    "doc_stratified_sample",      # hash-green r2 (unchanged oracle);
-                                  # sha-threshold map-side kernel
-                                  # stays in window via doc_shard_assign;
-                                  # its windowed-prefix sibling is the
-                                  # displacing query itself (displaced
-                                  # for doc_budget_apportion)
-    "event_value_trend",          # rolling-window kernel DOUBLE-covered
-                                  # in window (event_value_anomalies:
-                                  # rolling mean/std flags; user_week_gapfill:
-                                  # densified window walk); pytest +
-                                  # sf0.01 oracle rehearsal keep it
-                                  # checked (displaced for
-                                  # order_price_bands, a join kernel
-                                  # with no in-window twin)
-    "url_stream_latest",          # not yet driver-run, but its
-                                  # stateful-streaming kernel is
-                                  # DOUBLE-covered in window
-                                  # (doc_stream_dedupe:
-                                  # applyInPandasWithState;
-                                  # events_stream_tumbling: watermark
-                                  # windows); pytest test_url_stream +
-                                  # the sf0.01 oracle rehearsal keep it
-                                  # checked (displaced for
-                                  # snapshot_time_travel, whose
-                                  # manifest-isolation semantics are
-                                  # new surface with no in-window twin)
-    "priority_conditional_agg",   # agg family: pricing_summary in window
-    "order_year_matrix",          # agg pivot: covered by agg family
-    "segment_revenue",            # agg+join: nation joins in window
-    "nations_with_big_customers", # semi-join: anti/union in window
-    "min_value_event_per_user",   # min_by: latest_event_per_user in window
-    "error_click_top3",           # rank window: top_order_per_customer in
-    "doc_word_stats",             # scalar fns: doc_token_counts in window
-    "doc_length_histogram",       # bucketed agg: corpus_vocab in window
-    "doc_top_terms",              # explode+agg+topk: bm25 index in window
-    "events_tumbling_hour",       # batch tumbling: streaming variant in
-    "embedding_near_dup",         # exact pair kernel exercised inside
-                                  # embedding_dup_clusters' oracle
-    # Displaced round-3 to make window room for the webpipe family +
-    # doc_quality_filter (never driver-run). Every entry below is
-    # driver-green in BOTH r1 and r2 (CORRECTNESS_r01/r02), so parking
-    # them costs no evidence:
-    # Displaced for the round-3 boilerplate + token-budget queries
-    # (never driver-run); both r1+r2 green:
-    # Displaced round-3 for doc_link_pagerank + events_asof_state +
-    # doc_bm25_topk (never driver-run); all r1+r2 green:
-    "doc_ngram_pairs",            # exact pair kernel: doc_dup_clusters'
-                                  # oracle chain re-runs it in window
-    "haversine_to_hq",            # haversine fn: knn_topk_suppliers in
-                                  # window computes it per candidate
-                                  # (displaced for embedding_kmeans_clusters)
-    "corpus_vocab",               # explode+agg: doc_bm25_topk's index
-                                  # build is the same shape, in window
-                                  # (displaced for events_stream_join)
-    "raster_sample_customers",    # raster family keeps rasterize_customers
-                                  # + raster_vector_hotcells in window
-                                  # (displaced for doc_ngram_coverage)
-    "hilbert_cells",              # parked on arrival: JVM/numpy/scalar
-                                  # tri-identity is pytest-proven
-                                  # (test_hilbert), the golden rehearsal
-                                  # runs at sf0.01, and the cell-encode
-                                  # family keeps raster_vector_hotcells
-                                  # in window
-    "morton_cells",               # bit-spread cell encode: rasterize_
-                                  # customers' oracle embeds the same
-                                  # spread SQL; r1 driver green
-                                  # (displaced for spatial_eps_clusters)
-    "part_type_revenue",          # join+agg family: segment_revenue +
-                                  # broadcast_nation_join in window
-                                  # (displaced for bpe_merges)
-    "doc_split_assign",           # sha-threshold map-side sampling:
-                                  # doc_stratified_sample (same kernel)
-                                  # stays in window; r2 driver green
-                                  # (displaced for order_price_quantiles)
-    "street_normalize",           # string-normalization exprs: exercised
-                                  # inside merge_assignments' dedupe path
-                                  # in window; r1 driver green
-                                  # (displaced for event_peak_concurrency)
-    "mkt_tag_value",              # array/map exprs: doc_pii_redact +
-                                  # doc_boilerplate_strip in window use
-                                  # the same transform/filter kernels;
-                                  # r1 driver green
-                                  # (displaced for hll_user_registers)
-    "repeat_buyers_9596",         # intersect: union_segments (union) +
-                                  # customers_without_1995_orders (anti)
-                                  # keep set-op coverage in window;
-                                  # r3-de-vacuated, r2 green
-                                  # (displaced for event_funnel)
-    "embedding_dup_clusters",     # dup_clusters kernel runs in window
-                                  # via doc_dup_clusters AND
-                                  # spatial_eps_clusters; r2 green
-                                  # (displaced for user_weekly_retention)
-    "ann_cosine_lsh",             # LSH bucket equi-join shape stays in
-                                  # window via embedding_near_dup_lsh +
-                                  # ann_cosine_ivf; golden-paired green
-                                  # (displaced for user_event_scd2)
-    "media_frame_sample",         # mapInPandas binary plumbing stays in
-                                  # window via media_decode_meta +
-                                  # media_features; golden-paired green
-                                  # (displaced for event_value_trend)
-    "customers_without_1995_orders",  # anti-join shape stays in window
-                                  # via merge_assignments (J3/J4 anti
-                                  # joins) + robots_filtered_docs
-                                  # screen; r3-de-vacuated r2 green
-                                  # (displaced for event_value_trend)
-    "media_features",             # mapInPandas binary plumbing stays in
-                                  # window via media_decode_meta (and
-                                  # way_simplify_dp's applyInPandas);
-                                  # golden-paired green
-                                  # (displaced for way_simplify_dp)
-    "robots_filtered_docs",       # anti-join screen family: merge
-                                  # J3/J4 anti joins in window via
-                                  # merge_assignments; r3 driver green
-                                  # (displaced for
-                                  # supplier_name_fuzzy_pairs)
-    "rasterize_customers",        # raster_vector_hotcells in window
-                                  # RUNS rasterize_points as its first
-                                  # stage; r3 driver green
-                                  # (displaced for cluster_convex_hulls)
-    "doc_stream_dedupe",          # stateful streaming stays in window
-                                  # via url_stream_latest (ST7, same
-                                  # applyInPandasWithState kernel) +
-                                  # events_stream_join; r2 green
-                                  # (displaced for
-                                  # event_transition_matrix)
-    "doc_token_budget_sample",    # windowed-cumsum kernel stays in
-                                  # window via doc_pack_sequences
-                                  # (same distributed prefix sum);
-                                  # r3 driver green
-                                  # (displaced for event_value_anomalies)
-    "domain_cap_sample",          # per-key top-k rank window stays via
-                                  # knn_topk_suppliers' rank stage;
-                                  # r3 driver green
-                                  # (displaced for revenue_rollup)
-    "doc_pii_redact",             # regex transform kernels stay via
-                                  # doc_boilerplate_strip +
-                                  # url_canonical_dedup; r3 driver
-                                  # green (displaced for
-                                  # event_props_hist)
-    "doc_contamination",          # broadcast n-gram screen kernel stays
-                                  # via doc_bm25_topk (broadcast query
-                                  # terms) + robots family; r3 driver
-                                  # green (displaced for
-                                  # user_week_gapfill)
-    "pricing_summary",            # flagship agg: priority/segment agg
-                                  # family all green r1+r2 alongside
-    "doc_exact_dedup",            # exact dedup: url_canonical_dedup +
-                                  # doc_paragraph_dedup in window
-    "distinct_users_per_type",    # distinct agg: doc_exact_dedup green
-                                  # r1+r2 (parked alongside)
-    "top_revenue_orders",         # global top-k: top_order_per_customer +
-                                  # error_click_top3 cover rank/top-k
-    "top_order_per_customer",     # rank window: domain_cap_sample
-                                  # (row_number top-k) in window
-    "latest_event_per_user",      # latest-capture: url_stream_latest
-                                  # (streaming twin) in window
-    "events_stream_tumbling",     # real streaming runs remain in window
-                                  # via doc_stream_dedupe + url_stream_latest
-    "nation_supplier_stats",      # agg+join: pricing_summary +
-                                  # broadcast_nation_join in window
-    "union_segments",             # union: r1+r2 green
-    "doc_quality_counts",         # scalar text signals: r1+r2 green
-    "error_click_pairs",          # self-join: r1+r2 green
-    "sessionize_events",          # session window: r1+r2 green
-    "doc_token_counts",           # scalar text fns: r1+r2 green
-    "doc_lang_guess",             # n-gram heuristic: r1+r2 green
-    "doc_fingerprints",           # rolling hash: r1+r2 green
+    # ROUND-4 ROTATION (round-3 verdict task 3): the head (everything
+    # NOT listed here) is packed with the 14 never-driver-run entries,
+    # the 6 whose latest driver row is r1, and the 30 oldest r2-latest
+    # entries, so the union of CORRECTNESS_r01..r04 covers all 108
+    # registry names with a driver row. Parked below: 8 r2-latest
+    # leftovers (window arithmetic) + all 50 r3-green entries (just
+    # verified last round; parking them costs the least evidence).
+    # Every parked entry stays continuously checked by pytest and the
+    # full-registry oracle rehearsal (tools/driver_sim.py, now wired
+    # into tests/test_registry_oracle.py).
+    "doc_pack_sequences",  # driver-green r3
+    "doc_dup_clusters",  # driver-green r3
+    "merge_assignments",  # driver-green r3
+    "merge_output_sets",  # driver-green r3
+    "merge_tiles",  # driver-green r3
+    "merge_holes",  # driver-green r3
+    "text_sha_parity",  # driver-green r3
+    "minhash_lsh_pairs",  # driver-green r3
+    "embedding_near_dup_lsh",  # driver-green r3
+    "ann_cosine_ivf",  # driver-green r3
+    "media_decode_meta",  # driver-green r3
+    "broadcast_nation_join",  # driver-green r3
+    "knn_topk_suppliers",  # driver-green r3
+    "raster_vector_hotcells",  # driver-green r3
+    "doc_quality_filter",  # driver-green r3
+    "url_canonical_dedup",  # driver-green r3
+    "doc_shard_assign",  # driver-green r3
+    "doc_boilerplate_strip",  # driver-green r3
+    "doc_lm_perplexity",  # driver-green r3
+    "warc_ingest_index",  # driver-green r3
+    "doc_paragraph_dedup",  # driver-green r3
+    "doc_link_pagerank",  # driver-green r3
+    "events_asof_state",  # driver-green r3
+    "doc_bm25_topk",  # driver-green r3
+    "events_stream_join",  # driver-green r3
+    "embedding_kmeans_clusters",  # driver-green r3
+    "doc_ngram_coverage",  # driver-green r3
+    "spatial_eps_clusters",  # driver-green r3
+    "bpe_merges",  # driver-green r3
+    "order_price_quantiles",  # driver-green r3
+    "event_peak_concurrency",  # driver-green r3
+    "hll_user_registers",  # driver-green r3
+    "cms_part_quantity",  # driver-green r3
+    "order_price_bands",  # driver-green r3
+    "snapshot_merge_upsert",  # driver-green r3
+    "doc_budget_apportion",  # driver-green r3
+    "pmi_collocations",  # driver-green r3
+    "bloom_filtered_orders",  # driver-green r3
+    "event_funnel",  # driver-green r3
+    "user_weekly_retention",  # driver-green r3
+    "user_event_scd2",  # driver-green r3
+    "doc_link_triangles",  # driver-green r3
+    "way_simplify_dp",  # driver-green r3
+    "supplier_name_fuzzy_pairs",  # driver-green r3
+    "cluster_convex_hulls",  # driver-green r3
+    "event_transition_matrix",  # driver-green r3
+    "event_value_anomalies",  # driver-green r3
+    "revenue_rollup",  # driver-green r3
+    "event_props_hist",  # driver-green r3
+    "user_week_gapfill",  # driver-green r3
+    "nation_supplier_stats",  # driver-green r2
+    "union_segments",  # driver-green r2
+    "doc_quality_counts",  # driver-green r2
+    "error_click_pairs",  # driver-green r2
+    "sessionize_events",  # driver-green r2
+    "doc_token_counts",  # driver-green r2
+    "doc_lang_guess",  # driver-green r2
+    "doc_fingerprints",  # driver-green r2
 ]
 
 
