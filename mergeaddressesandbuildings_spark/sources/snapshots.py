@@ -18,9 +18,27 @@ current pointer):
 - ``snap/_current`` holds the live snapshot id and is replaced with
   ``os.replace`` (atomic on POSIX) — a reader never observes a half
   commit: it either resolves the old pointer or the new one.
-  Single-writer-at-a-time is assumed (Iceberg gets multi-writer via
-  an optimistic catalog swap; a catalog is out of scope here and the
-  assumption is asserted by commit-id collision detection);
+  Writers use OPTIMISTIC CONCURRENCY like Iceberg's catalog swap:
+  the manifest for snapshot id ``parent+1`` is created exclusively
+  (``os.link`` — atomic create-or-fail), so of two racing commits
+  from the same parent exactly one wins and the loser raises
+  :class:`SnapshotConflictError` (retry = re-read current, re-plan,
+  re-commit); the commit additionally re-checks the expected parent
+  before the pointer swap so a stale writer can never move the
+  pointer backwards past an expired id. A filesystem with atomic
+  link/replace (POSIX local FS, HDFS; NOT bare S3) is the
+  correctness boundary — on an object store this layer's contract
+  maps onto a catalog's compare-and-swap;
+- manifests carry per-file PRUNING STATS alongside ``file_rows``:
+  ``file_stats`` (min/max per primitive column, read from the
+  parquet footers at commit time — the same place Iceberg manifests
+  get column bounds) and, for hash-clustered tables,
+  ``file_buckets`` (the set of ``pmod(xxhash64(key), 256)`` bucket
+  ids present in each file, computed by one column-pruned scan of
+  ONLY the freshly written files). :func:`merge_upsert` and
+  :func:`replace_keys` prune their candidate file set against these
+  stats BEFORE the key scan, so commit cost is O(delta + hit files)
+  in I/O as documented — not O(table) per commit;
 - readers NEVER list data directories (at 10^12 rows listing is the
   bottleneck): the manifest is the source of truth, so a read plans
   directly over the frozen file list — crashed half-written commits
@@ -43,20 +61,41 @@ RELOCATION WARNING: manifests name data files by ABSOLUTE path (as
 Iceberg manifests store absolute URIs). A table directory copied
 with cp keeps reading the ORIGINAL's files — and expiring snapshots
 on the copy deletes them. Moving a table requires rewriting the
-manifest paths, not copying the tree.
+manifest paths, not copying the tree: :func:`relocate` does exactly
+that (call it on the copy immediately after the cp/mv).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 __all__ = ["write_snapshot", "merge_upsert", "replace_keys",
            "compact_files", "expire_snapshots", "read_snapshot",
-           "read_changes", "snapshot_log", "current_snapshot_id"]
+           "read_changes", "snapshot_log", "current_snapshot_id",
+           "relocate", "SnapshotConflictError"]
+
+# hash-bucket fan-out recorded per file for hash-clustered tables:
+# fixed (independent of the writer's partition count) so bucket sets
+# stay comparable across commits; 256 gives a 1/256 candidate ratio
+# per purge key at negligible manifest weight
+N_HASH_BUCKETS = 256
+# min/max pruning collects the distinct purge keys up to this cap for
+# a precise per-file interval test (deltas are delta-sized by
+# contract); beyond it, pruning degrades to the overall [min,max]
+# overlap test (one 1-row agg) instead of collecting unbounded keys
+PRUNE_MAX_KEYS = 100_000
+_STAT_STR_CAP = 64  # string bounds truncated Iceberg-style
+
+
+class SnapshotConflictError(RuntimeError):
+    """A concurrent writer committed first (optimistic-concurrency
+    loss). The table is intact at the winner's snapshot; retry by
+    re-reading the current snapshot and re-planning the commit."""
 
 
 def _snap_dir(table_dir: str) -> str:
@@ -107,17 +146,35 @@ def write_snapshot(df: DataFrame, table_dir: str,
     destroys key→file locality (copy-on-write then rewrites every
     file on every delta) and breaks parquet run-length/dictionary
     encoding (measured 4.3x on-disk bloat after 9 splice commits).
-    When omitted, an append inherits the parent's contract.
+    When omitted (None), an append inherits the parent's contract; an
+    OVERWRITE that omits it while the parent declared one WARNS (the
+    contract silently evaporating is how layout rot restarts) — pass
+    ``cluster_by=[]`` to drop the contract deliberately and silently.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     parent = current_snapshot_id(table_dir)
+    explicit_drop = cluster_by is not None and not cluster_by
     cb = {"cols": list(cluster_by), "kind": cluster_kind} \
         if cluster_by else None
-    if cb is None and mode == "append" and parent is not None:
-        cb = _load_manifest(table_dir, parent).get("cluster_by")
+    if cb is None and parent is not None and not explicit_drop:
+        pcb = _load_manifest(table_dir, parent).get("cluster_by")
+        if mode == "append":
+            cb = pcb
+        elif pcb:
+            warnings.warn(
+                f"overwrite of {table_dir} drops the parent's "
+                f"cluster_by contract {pcb['cols']} — the next "
+                f"compaction will round-robin rows (measured 4.3x "
+                f"encoding bloat + parallelism collapse); pass "
+                f"cluster_by=[...] to keep a contract or "
+                f"cluster_by=[] to drop it deliberately",
+                stacklevel=2)
     sid = _next_sid(table_dir, parent)
     new_files, n_new = _write_data_dir(df, table_dir, sid)
+    buckets = (_hash_buckets(df.sparkSession, new_files, cb["cols"][0])
+               if new_files and cb and cb.get("kind") == "hash"
+               and cb.get("cols") else None)
     if mode == "append" and parent is not None:
         pm = _load_manifest(table_dir, parent)
         files = pm["files"] + new_files
@@ -126,7 +183,7 @@ def write_snapshot(df: DataFrame, table_dir: str,
         files, n_rows = new_files, n_new
     return _commit(table_dir, sid, parent, mode, files, new_files,
                    n_rows, n_new, json.loads(df.schema.json()),
-                   cluster_by=cb)
+                   cluster_by=cb, new_buckets=buckets)
 
 
 def _next_sid(table_dir: str, parent: int | None) -> int:
@@ -169,6 +226,77 @@ def _footer_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _trunc_lower(v, cap: int = _STAT_STR_CAP):
+    """Lower bound, possibly truncated: a prefix of the true min is
+    still <= every value in the file."""
+    return v[:cap] if isinstance(v, str) and len(v) > cap else v
+
+
+def _trunc_upper(v, cap: int = _STAT_STR_CAP):
+    """Upper bound, possibly truncated: ``prefix + U+10FFFF`` is >=
+    every string sharing that prefix (Iceberg's truncated upper
+    bound)."""
+    if isinstance(v, str) and len(v) > cap:
+        return v[:cap] + chr(0x10FFFF)
+    return v
+
+
+def _footer_stats(path: str) -> dict:
+    """Per-column [min, max] from the parquet footer (driver-side
+    metadata read, no Spark job — where Iceberg manifests get their
+    column bounds). Only JSON-stable primitive types (int/float/str/
+    bool) and only top-level columns; a column missing stats in ANY
+    row group records no bounds (pruning then treats the file as an
+    always-candidate — conservative)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    bounds: dict[str, list] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:
+                continue  # nested leaf — not a top-level column
+            st = col.statistics
+            if (st is None or not st.has_min_max
+                    or not isinstance(st.min, (int, float, str, bool))):
+                dropped.add(name)
+                bounds.pop(name, None)
+                continue
+            mn, mx = _trunc_lower(st.min), _trunc_upper(st.max)
+            if name in bounds:
+                b = bounds[name]
+                b[0], b[1] = min(b[0], mn), max(b[1], mx)
+            else:
+                bounds[name] = [mn, mx]
+    return bounds
+
+
+def _hash_buckets(spark: SparkSession, files: list[str],
+                  col: str) -> dict[str, list[int]]:
+    """Bucket-id sets (``pmod(xxhash64(col), N_HASH_BUCKETS)``) per
+    file, by one column-pruned scan of ``files`` — called on a
+    commit's FRESHLY WRITTEN files only (O(delta) I/O). An empty file
+    legitimately records an empty set (it can never contain a key)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(*files)
+        .select(F.input_file_name().alias("_f"),
+                F.pmod(F.xxhash64(F.col(col)),
+                       F.lit(N_HASH_BUCKETS)).alias("_b"))
+        .distinct().collect()
+    )
+    seen: dict[str, set[int]] = {}
+    for r in rows:
+        seen.setdefault(_local_path(r["_f"]), set()).add(int(r["_b"]))
+    return {f: sorted(seen.get(os.path.abspath(f), set()))
+            for f in files}
+
+
 def _file_rows(pm: dict, files: list[str]) -> int:
     """Total rows in ``files`` of a manifest — from the manifest's
     stored footer counts when present (zero I/O), else from the
@@ -182,19 +310,46 @@ def _commit(table_dir: str, sid: int, parent: int | None,
             operation: str, files: list[str], added_files: list[str],
             n_rows: int, n_added: int, schema_json: dict,
             extra: dict | None = None,
-            cluster_by: dict | None = None) -> dict:
-    # per-file row counts: carried forward from the parent manifest
-    # for kept files, footer-read (driver-side, no Spark job) for the
+            cluster_by: dict | None = None,
+            new_buckets: dict[str, list[int]] | None = None,
+            spliced: list[str] | None = None) -> dict:
+    # per-file stats: carried forward from the parent manifest for
+    # kept files, footer-read (driver-side, no Spark job) for the
     # freshly written ones
-    parent_rows = {}
+    parent_m: dict = {}
     if parent is not None:
         try:
-            parent_rows = _load_manifest(table_dir, parent).get(
-                "file_rows") or {}
+            parent_m = _load_manifest(table_dir, parent)
         except FileNotFoundError:
             pass
-    file_rows = {f: (parent_rows[f] if f in parent_rows
-                     else _footer_rows(f)) for f in files}
+    parent_rows = parent_m.get("file_rows") or {}
+    parent_stats = parent_m.get("file_stats") or {}
+    parent_buckets = parent_m.get("file_buckets") or {}
+    added = set(added_files)
+    file_rows, file_stats, file_buckets = {}, {}, {}
+    for f in files:
+        if f in parent_rows and f not in added:
+            file_rows[f] = parent_rows[f]
+            if f in parent_stats:
+                file_stats[f] = parent_stats[f]
+            if f in parent_buckets:
+                file_buckets[f] = parent_buckets[f]
+        else:
+            file_rows[f] = _footer_rows(f)
+            st = _footer_stats(f)
+            if st:
+                file_stats[f] = st
+    if new_buckets:
+        file_buckets.update({f: b for f, b in new_buckets.items()
+                             if f in set(files)})
+    # splice-drift ledger: files written by keyed splices no longer
+    # honor the clustering contract file-for-file; compact_files
+    # targets exactly these for re-clustering. Carried forward while
+    # the file stays live, dropped the moment it is rewritten/removed.
+    live = set(files)
+    spliced_files = sorted(
+        (set(parent_m.get("spliced_files") or []) & live)
+        | (set(spliced or []) & live))
     manifest = {
         "snapshot_id": sid,
         "parent_id": parent,
@@ -204,14 +359,46 @@ def _commit(table_dir: str, sid: int, parent: int | None,
         "n_rows": n_rows,
         "n_added_rows": n_added,
         "file_rows": file_rows,
+        "file_stats": file_stats,
+        "file_buckets": file_buckets,
+        "spliced_files": spliced_files,
         "schema": schema_json,
         "cluster_by": cluster_by,
     }
     if extra:
         manifest.update(extra)
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
-    with open(_manifest_path(table_dir, sid), "w") as f:
+    # Optimistic-concurrency commit point 1: create the manifest for
+    # this sid EXCLUSIVELY. The manifest is fully written to a temp
+    # name first, then linked into place atomically (os.link fails
+    # with EEXIST if a racing writer beat us) — no reader or racer
+    # can ever observe a half-written manifest.
+    mpath = _manifest_path(table_dir, sid)
+    import uuid as _uuid
+
+    tmp_m = mpath + f".w.{_uuid.uuid4().hex[:8]}"
+    with open(tmp_m, "w") as f:
         json.dump(manifest, f)
+    try:
+        os.link(tmp_m, mpath)
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"concurrent writer won snapshot {sid} at {table_dir} — "
+            f"re-read the current snapshot and retry the commit"
+        ) from None
+    finally:
+        os.remove(tmp_m)
+    # Commit point 2: swap the pointer, guarded by an expected-parent
+    # re-check so a stale writer whose sid was freed by snapshot
+    # expiry cannot move the pointer BACKWARDS. (The check-then-swap
+    # window is closed by point 1 for same-parent races — the only
+    # writers that reach here with a changed pointer are ones racing
+    # an expiry, which is an operational error already.)
+    if current_snapshot_id(table_dir) != parent:
+        os.remove(mpath)
+        raise SnapshotConflictError(
+            f"concurrent writer advanced {table_dir} past expected "
+            f"parent {parent} — retry from the current snapshot")
     tmp = _current_path(table_dir) + f".tmp.{sid}"
     with open(tmp, "w") as f:
         f.write(str(sid))
@@ -228,6 +415,73 @@ def _local_path(uri: str) -> str:
     p = urlparse(uri)
     return os.path.abspath(unquote(p.path)) if p.scheme else \
         os.path.abspath(uri)
+
+
+def _candidate_files(spark: SparkSession, pm: dict, purge: DataFrame,
+                     key_cols: list[str]) -> tuple[list[str], int]:
+    """Manifest-stats file pruning for keyed copy-on-write commits
+    (how Iceberg plans a MERGE: evaluate the predicate against
+    manifest column bounds before touching data). Returns
+    ``(candidate_files, n_pruned)`` where every file that COULD
+    contain a purge key is a candidate — pruning is strictly
+    conservative (a file with no recorded stats is always a
+    candidate), so the downstream key scan stays the source of truth
+    for which files are actually hit.
+
+    Two stat families, judged per file on ``key_cols[0]``:
+    - ``file_buckets`` (hash-clustered tables): candidate iff the
+      file's recorded xxhash64-bucket set intersects the purge keys'
+      bucket set (one <=``N_HASH_BUCKETS``-row collect on the purge
+      side);
+    - ``file_stats`` min/max (range-clustered / naturally sorted
+      columns): when the distinct purge keys fit ``PRUNE_MAX_KEYS``
+      they are collected once and each file interval is bisect-tested
+      precisely; beyond the cap the test degrades to overall
+      [min,max] overlap (one 1-row agg).
+    """
+    from bisect import bisect_left
+
+    from pyspark.sql import functions as F
+
+    files = pm["files"]
+    col0 = key_cols[0]
+    stats = pm.get("file_stats") or {}
+    buckets = pm.get("file_buckets") or {}
+    use_buckets = any(f in buckets for f in files)
+    use_stats = not use_buckets and any(
+        col0 in stats.get(f, {}) for f in files)
+    if not files or not (use_buckets or use_stats):
+        return files, 0
+
+    if use_buckets:
+        kb = {int(r["_b"]) for r in purge.select(
+            F.pmod(F.xxhash64(F.col(col0)),
+                   F.lit(N_HASH_BUCKETS)).alias("_b"))
+            .distinct().collect()}
+        cand = [f for f in files
+                if f not in buckets or kb.intersection(buckets[f])]
+        return cand, len(files) - len(cand)
+
+    krows = (purge.select(F.col(col0).alias("_k"))
+             .filter(F.col("_k").isNotNull())
+             .distinct().limit(PRUNE_MAX_KEYS + 1).collect())
+    if len(krows) <= PRUNE_MAX_KEYS:
+        keys = sorted(r["_k"] for r in krows)
+        if not keys:
+            return [], len(files)  # NULL-only purge matches nothing
+
+        def hit(b: list) -> bool:
+            i = bisect_left(keys, b[0])
+            return i < len(keys) and keys[i] <= b[1]
+    else:
+        lo, hi = purge.agg(F.min(col0), F.max(col0)).first()
+
+        def hit(b: list) -> bool:
+            return not (b[1] < lo or b[0] > hi)
+
+    cand = [f for f in files
+            if col0 not in stats.get(f, {}) or hit(stats[f][col0])]
+    return cand, len(files) - len(cand)
 
 
 def merge_upsert(changes: DataFrame, table_dir: str,
@@ -282,18 +536,19 @@ def merge_upsert(changes: DataFrame, table_dir: str,
 
     sid = _next_sid(table_dir, cur_sid)
     schema_json = pm["schema"]
-    if not pm["files"]:
+    candidates, n_pruned = _candidate_files(spark, pm, keys, key_cols)
+    if not candidates:
         affected: list[str] = []
     else:
         hit = (
-            spark.read.parquet(*pm["files"])
+            spark.read.parquet(*candidates)
             .select(*key_cols,
                     F.input_file_name().alias("_file"))
             .join(keys, key_cols, "left_semi")
             .select("_file").distinct().collect()
         )
         hits = {_local_path(r["_file"]) for r in hit}
-        affected = [f for f in pm["files"] if os.path.abspath(f) in hits]
+        affected = [f for f in candidates if os.path.abspath(f) in hits]
     kept = [f for f in pm["files"] if f not in set(affected)]
 
     upserts = changes
@@ -310,14 +565,19 @@ def merge_upsert(changes: DataFrame, table_dir: str,
     else:
         rewritten = upserts
         n_affected_rows = 0
-    rewritten = _restore_sort(rewritten, pm.get("cluster_by"))
+    cb = pm.get("cluster_by")
+    rewritten = _restore_sort(rewritten, cb)
     new_files, n_new = _write_data_dir(rewritten, table_dir, sid)
+    buckets = (_hash_buckets(spark, new_files, cb["cols"][0])
+               if new_files and cb and cb.get("kind") == "hash"
+               and cb.get("cols") else None)
     return _commit(
         table_dir, sid, cur_sid, "merge", kept + new_files, new_files,
         pm["n_rows"] - n_affected_rows + n_new, n_new, schema_json,
         extra={"n_rewritten_files": len(affected),
-               "n_kept_files": len(kept)},
-        cluster_by=pm.get("cluster_by"))
+               "n_kept_files": len(kept),
+               "n_pruned_files": n_pruned},
+        cluster_by=cb, new_buckets=buckets, spliced=new_files)
 
 
 def replace_keys(spark: SparkSession, table_dir: str,
@@ -372,17 +632,18 @@ def replace_keys(spark: SparkSession, table_dir: str,
     purge = purge.distinct()
 
     sid = _next_sid(table_dir, cur_sid)
-    if not pm["files"]:
+    candidates, n_pruned = _candidate_files(spark, pm, purge, key_cols)
+    if not candidates:
         affected: list[str] = []
     else:
         hit = (
-            spark.read.parquet(*pm["files"])
+            spark.read.parquet(*candidates)
             .select(*key_cols, F.input_file_name().alias("_file"))
             .join(purge, key_cols, "left_semi")
             .select("_file").distinct().collect()
         )
         hits = {_local_path(r["_file"]) for r in hit}
-        affected = [f for f in pm["files"] if os.path.abspath(f) in hits]
+        affected = [f for f in candidates if os.path.abspath(f) in hits]
     kept = [f for f in pm["files"] if f not in set(affected)]
 
     parts = []
@@ -405,19 +666,29 @@ def replace_keys(spark: SparkSession, table_dir: str,
         # then locally re-sort to the table's clustering contract so
         # repeated splices don't decay parquet encoding (measured:
         # 4.3x on-disk bloat after 9 unsorted splice commits, which
-        # also collapses downstream scan parallelism)
+        # also collapses downstream scan parallelism). Key→file
+        # locality still DRIFTS per splice (survivors + inserts share
+        # output files) — the commit marks its outputs in the
+        # manifest's spliced_files ledger so compact_files re-clusters
+        # exactly those, instead of either shuffling every delta here
+        # or letting large drifted files escape maintenance forever.
         rewritten = _restore_sort(
             rewritten.coalesce(max(1, len(affected))),
             pm.get("cluster_by"))
         new_files, n_new = _write_data_dir(rewritten, table_dir, sid)
     else:
         new_files, n_new = [], 0
+    cb = pm.get("cluster_by")
+    buckets = (_hash_buckets(spark, new_files, cb["cols"][0])
+               if new_files and cb and cb.get("kind") == "hash"
+               and cb.get("cols") else None)
     return _commit(
         table_dir, sid, cur_sid, "replace", kept + new_files, new_files,
         pm["n_rows"] - n_affected_rows + n_new, n_new, pm["schema"],
         extra={"n_rewritten_files": len(affected),
-               "n_kept_files": len(kept)},
-        cluster_by=pm.get("cluster_by"))
+               "n_kept_files": len(kept),
+               "n_pruned_files": n_pruned},
+        cluster_by=cb, new_buckets=buckets, spliced=new_files)
 
 
 def _restore_sort(df: DataFrame, cb: dict | None) -> DataFrame:
@@ -466,20 +737,28 @@ def compact_files(spark: SparkSession, table_dir: str,
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table_dir}")
     pm = _load_manifest(table_dir, cur)
+    cb = pm.get("cluster_by")
     small = [f for f in pm["files"]
              if os.path.getsize(f) < small_file_bytes]
-    if len(small) <= 1:  # nothing to pack together
-        return pm
-    kept = [f for f in pm["files"] if f not in set(small)]
+    # splice-drift repair: files written by replace_keys/merge_upsert
+    # no longer honor the clustering contract file-for-file (the
+    # manifest's spliced_files ledger); when a contract exists they
+    # join the rewrite set REGARDLESS of size, so large drifted files
+    # don't escape re-clustering forever while the manifest keeps
+    # asserting cluster_by
+    spliced = set(pm.get("spliced_files") or []) if cb else set()
+    rewrite = sorted(set(small) | spliced)
+    if not rewrite or (len(rewrite) <= 1 and not spliced):
+        return pm  # nothing to pack and nothing drifted
+    kept = [f for f in pm["files"] if f not in set(rewrite)]
     sid = _next_sid(table_dir, cur)
-    total = sum(os.path.getsize(f) for f in small)
+    total = sum(os.path.getsize(f) for f in rewrite)
     nparts = target_partitions or max(
         1,
         total // small_file_bytes,
         min(spark.sparkContext.defaultParallelism, total // (1 << 20)),
     )
-    src = spark.read.parquet(*small)
-    cb = pm.get("cluster_by")
+    src = spark.read.parquet(*rewrite)
     if cb and cb.get("cols"):
         cols = cb["cols"]
         src = (src.repartitionByRange(nparts, *cols)
@@ -488,19 +767,23 @@ def compact_files(spark: SparkSession, table_dir: str,
         src = src.sortWithinPartitions(*cols)
     else:
         src = src.repartition(nparts)
-    n_small = _file_rows(pm, small)
+    n_small = _file_rows(pm, rewrite)
     new_files, n_new = _write_data_dir(src, table_dir, sid)
     if n_new != n_small:
         raise RuntimeError(
             f"compaction row-identity check failed: {n_small} rows in, "
             f"{n_new} out — aborting before the manifest commit "
             f"(orphan attempt dir stays invisible)")
+    buckets = (_hash_buckets(spark, new_files, cb["cols"][0])
+               if new_files and cb and cb.get("kind") == "hash"
+               and cb.get("cols") else None)
     return _commit(
         table_dir, sid, cur, "compact", kept + new_files, new_files,
         pm["n_rows"], n_new, pm["schema"],
-        extra={"n_compacted_files": len(small),
+        extra={"n_compacted_files": len(rewrite),
+               "n_recl_spliced_files": len(spliced),
                "n_kept_files": len(kept)},
-        cluster_by=cb)
+        cluster_by=cb, new_buckets=buckets)
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
@@ -593,6 +876,46 @@ def read_changes(spark: SparkSession, table_dir: str,
         return spark.createDataFrame(
             [], schema=StructType.fromJson(m["schema"]))
     return spark.read.parquet(*added)
+
+
+def relocate(table_dir: str, old_prefix: str, new_prefix: str) -> int:
+    """Repoint a physically copied/moved table at its own data files
+    by rewriting every retained manifest's absolute paths under
+    ``old_prefix`` to ``new_prefix`` (the manifest-rewrite step the
+    module docstring's RELOCATION WARNING demands — without it, a
+    cp'd table keeps reading the ORIGINAL's files and expiring
+    snapshots on the copy deletes them). Call on the COPY right after
+    the cp/mv, before any read or commit. Returns the number of
+    rewritten path entries."""
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    old_prefix = os.path.abspath(old_prefix)
+    new_prefix = os.path.abspath(new_prefix)
+    n = 0
+
+    def mv(p: str) -> str:
+        nonlocal n
+        if p == old_prefix or p.startswith(old_prefix + os.sep):
+            n += 1
+            return new_prefix + p[len(old_prefix):]
+        return p
+
+    for sid in range(1, cur + 1):
+        try:
+            m = _load_manifest(table_dir, sid)
+        except FileNotFoundError:
+            continue
+        m["files"] = [mv(f) for f in m["files"]]
+        m["added_files"] = [mv(f) for f in m["added_files"]]
+        for k in ("file_rows", "file_stats", "file_buckets"):
+            if m.get(k):
+                m[k] = {mv(f): v for f, v in m[k].items()}
+        if m.get("spliced_files"):
+            m["spliced_files"] = [mv(f) for f in m["spliced_files"]]
+        with open(_manifest_path(table_dir, sid), "w") as f:
+            json.dump(m, f)
+    return n
 
 
 def snapshot_log(table_dir: str) -> list[dict]:

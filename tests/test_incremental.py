@@ -158,6 +158,13 @@ def test_second_delta_stays_exact(spark, state, tmp_path):
 
     chain_dir = os.path.join(str(tmp_path), "state_chain")
     shutil.copytree(state_dir, chain_dir)
+    # a cp'd snapshot table still references the ORIGINAL's data files
+    # (snapshots.py RELOCATION WARNING) — repoint the copy at its own
+    # tree so this test models the supported relocation pattern
+    for tbl in inc._TABLES:
+        tdir = os.path.join(chain_dir, tbl)
+        if snap.current_snapshot_id(tdir) is not None:
+            assert snap.relocate(tdir, state_dir, chain_dir) > 0
 
     add2 = pg.gen_pages_pdf(range(N_PAGES + 50, N_PAGES + 60))
     add2["deleted"] = False

@@ -301,3 +301,144 @@ def test_cluster_by_survives_maintenance(spark, tdir):
             hits.setdefault(u, set()).add(f)
     assert all(len(fs) == 1 for fs in hits.values()), \
         "a url hash bucket was split across compacted files"
+
+
+def test_racing_commits_conflict_not_lost_update(spark, tdir):
+    """Round-3 verdict task 7: two writers that both planned from the
+    same parent must NOT both commit — the loser raises
+    SnapshotConflictError at the exclusive manifest create, the
+    winner's rows are intact, and the pointer never regresses."""
+    S.write_snapshot(spark.createDataFrame([(1, "a")], ["id", "v"]), tdir)
+    pm = S._load_manifest(tdir, 1)
+    # two racing writers both compute sid=2 from parent=1; writer A
+    # lands first through the public path
+    a = spark.createDataFrame([(2, "A")], ["id", "v"])
+    S.write_snapshot(a, tdir)
+    # writer B raced: it already passed planning (sid computed before
+    # A's commit) and now reaches the commit point with stale state
+    files_b, n_b = S._write_data_dir(
+        spark.createDataFrame([(3, "B")], ["id", "v"]), tdir, 2)
+    with pytest.raises(S.SnapshotConflictError, match="concurrent"):
+        S._commit(tdir, 2, 1, "append", pm["files"] + files_b, files_b,
+                  pm["n_rows"] + n_b, n_b, pm["schema"])
+    # lost-update impossibility: A's commit is the live state, B's
+    # rows are invisible orphans
+    assert S.current_snapshot_id(tdir) == 2
+    assert rows_of(S.read_snapshot(spark, tdir)) == [(1, "a"), (2, "A")]
+
+
+def test_stale_writer_cannot_regress_pointer(spark, tdir):
+    """A writer whose snapshot id was freed by expiry must not move
+    the pointer backwards: the expected-parent re-check fires."""
+    for i in range(3):
+        S.write_snapshot(spark.createDataFrame([(i,)], ["id"]), tdir)
+    pm = S._load_manifest(tdir, 3)
+    S.expire_snapshots(tdir, keep_last=1)  # frees manifests 1 and 2
+    files, n = S._write_data_dir(
+        spark.createDataFrame([(9,)], ["id"]), tdir, 2)
+    with pytest.raises(S.SnapshotConflictError, match="parent"):
+        S._commit(tdir, 2, 1, "append", files, files, n, n, pm["schema"])
+    assert S.current_snapshot_id(tdir) == 3
+    # the conflicted manifest was rolled back, not left blocking id 2
+    assert not os.path.exists(os.path.join(tdir, "snap", "2.json"))
+
+
+def test_replace_keys_prunes_via_hash_buckets(spark, tdir):
+    """ADVICE round 3 (medium): keyed splices must NOT scan the key
+    column of every live file — hash-clustered tables prune via the
+    manifest's per-file xxhash64 bucket sets, so commit I/O is
+    O(delta + hit files)."""
+    from pyspark.sql import functions as F
+
+    df = (spark.range(4000)
+          .withColumn("url", F.concat(F.lit("u"),
+                                      (F.col("id") % 500).cast("string"))))
+    m0 = S.write_snapshot(df.repartition(16, "url"), tdir,
+                          mode="overwrite", cluster_by=["url"])
+    assert len(m0["files"]) == 16
+    assert all(f in m0["file_buckets"] for f in m0["files"])
+
+    keys = spark.createDataFrame([("u7",)], ["url"])
+    ins = spark.createDataFrame([(999_999, "u7")], ["id", "url"])
+    m1 = S.replace_keys(spark, tdir, ["url"], keys, ins)
+    # one key -> one bucket -> at most a couple of candidate files;
+    # the rest were pruned from the scan entirely
+    assert m1["n_pruned_files"] >= 13, m1["n_pruned_files"]
+    assert m1["n_rewritten_files"] >= 1
+    got = S.read_snapshot(spark, tdir)
+    assert got.filter("url = 'u7'").count() == 1
+    assert got.count() == 4000 - 8 + 1  # 8 old u7 rows replaced by 1
+
+
+def test_merge_upsert_prunes_via_range_stats(spark, tdir):
+    """Range-clustered tables prune keyed merges via the manifest's
+    footer min/max column bounds (precise bisect test under the
+    key-collect cap)."""
+    df = spark.range(10_000).withColumnRenamed("id", "cell") \
+        .selectExpr("cell", "cast(cell * 2 as long) as v")
+    m0 = S.write_snapshot(df.repartitionByRange(10, "cell"), tdir,
+                          mode="overwrite", cluster_by=["cell"],
+                          cluster_kind="range")
+    assert any("cell" in s for s in m0["file_stats"].values())
+    ch = spark.createDataFrame([(5, 999)], ["cell", "v"])
+    m1 = S.merge_upsert(ch, tdir, ["cell"])
+    # key 5 lives in exactly one range file; the other 9 pruned
+    assert m1["n_pruned_files"] >= 8, m1["n_pruned_files"]
+    assert m1["n_rewritten_files"] == 1
+    got = S.read_snapshot(spark, tdir)
+    assert rows_of(got.filter("cell = 5")) == [(5, 999)]
+    assert got.count() == 10_000
+
+
+def test_overwrite_dropping_cluster_contract_warns(spark, tdir):
+    """ADVICE round 3: an overwrite that silently omits cluster_by
+    while the parent declared one reintroduces layout rot — warn; an
+    explicit cluster_by=[] drops it silently."""
+    df = spark.createDataFrame([(1, "u1")], ["id", "url"])
+    S.write_snapshot(df, tdir, mode="overwrite", cluster_by=["url"])
+    with pytest.warns(UserWarning, match="cluster_by"):
+        S.write_snapshot(df, tdir, mode="overwrite")
+    # re-establish, then drop deliberately: no warning
+    S.write_snapshot(df, tdir, mode="overwrite", cluster_by=["url"])
+    import warnings as W
+
+    with W.catch_warnings():
+        W.simplefilter("error")
+        m = S.write_snapshot(df, tdir, mode="overwrite", cluster_by=[])
+    assert m["cluster_by"] is None
+
+
+def test_compaction_reclusters_spliced_files(spark, tdir):
+    """Splice outputs drift off the clustering contract; the manifest
+    ledger marks them and compact_files re-clusters them even when
+    they exceed small_file_bytes — then drains the ledger."""
+    from pyspark.sql import functions as F
+
+    df = (spark.range(2000)
+          .withColumn("url", F.concat(F.lit("u"),
+                                      (F.col("id") % 100).cast("string"))))
+    S.write_snapshot(df.repartition(4, "url"), tdir,
+                     mode="overwrite", cluster_by=["url"])
+    keys = spark.createDataFrame([("u3",), ("u42",)], ["url"])
+    ins = spark.createDataFrame([(7777, "u3")], ["id", "url"])
+    m1 = S.replace_keys(spark, tdir, ["url"], keys, ins)
+    assert m1["spliced_files"] == sorted(m1["added_files"])
+
+    n = S.read_snapshot(spark, tdir).count()
+    # threshold of 1 byte: nothing qualifies as "small", so ONLY the
+    # spliced ledger forces the rewrite
+    m2 = S.compact_files(spark, tdir, small_file_bytes=1)
+    assert m2["operation"] == "compact"
+    assert m2["n_recl_spliced_files"] == len(m1["spliced_files"])
+    assert m2["spliced_files"] == []  # ledger drained
+    assert S.read_snapshot(spark, tdir).count() == n
+    # re-clustered outputs honor the contract again: one file per key
+    import pyarrow.parquet as pq
+
+    hits = {}
+    for f in m2["added_files"]:
+        for u in set(pq.read_table(f, columns=["url"])["url"].to_pylist()):
+            hits.setdefault(u, set()).add(f)
+    spliced_urls = {u for f in m1["added_files"]
+                    for u in pq.read_table(f, columns=["url"])["url"].to_pylist()}
+    assert all(len(fs) == 1 for u, fs in hits.items() if u in spliced_urls)
