@@ -179,49 +179,37 @@ def bpe_encode(docs: DataFrame, merges: DataFrame,
 
     import pandas as pd  # noqa: F401  (mapInPandas contract)
 
-    rank_of = {pair: i for i, pair in enumerate(rows)}
     pat = re.compile(word_pattern)
     out_schema = ("doc_id bigint, tokens array<string>, "
                   "n_tokens bigint")
     id_field = "doc_id"
-
-    def _encode_one(w: str) -> list:
-        syms = list(w)
-        while len(syms) > 1:
-            best, best_rank = None, None
-            for i in range(len(syms) - 1):
-                r = rank_of.get((syms[i], syms[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best, best_rank = (syms[i], syms[i + 1]), r
-            if best is None:
-                break
-            a, b = best
-            merged, i = [], 0
-            while i < len(syms):
-                if (i + 1 < len(syms) and syms[i] == a
-                        and syms[i + 1] == b):
-                    merged.append(a + b)
-                    i += 2
-                else:
-                    merged.append(syms[i])
-                    i += 1
-            syms = merged
-        return syms
+    encode_words = _make_batch_encoder(rows)
 
     def _batches(it):
         cache: dict = {}
         for pdf in it:
+            texts = pdf[text_col].astype(str)
+            # pass 1: split, pass misses to the batch kernel in ONE
+            # numpy call (the r3-verdict fix: no per-word Python loop)
+            miss: list[str] = []
+            seen: set = set()
+            for text in texts:
+                for w in text.split(" "):
+                    if w and w not in cache and w not in seen \
+                            and pat.search(w):
+                        seen.add(w)
+                        miss.append(w)
+            if miss:
+                cache.update(zip(miss, encode_words(miss)))
+            # pass 2: assemble per-doc token lists from the cache
             toks_col, n_col = [], []
-            for text in pdf[text_col].astype(str):
+            for text in texts:
                 toks: list = []
                 for w in text.split(" "):
                     if not w:
                         continue
-                    if pat.search(w):
-                        got = cache.get(w)
-                        if got is None:
-                            got = _encode_one(w)
-                            cache[w] = got
+                    got = cache.get(w)
+                    if got is not None:
                         toks.extend(got)
                     else:
                         toks.append(w)
@@ -232,3 +220,167 @@ def bpe_encode(docs: DataFrame, merges: DataFrame,
 
     return docs.select(id_field, text_col).mapInPandas(
         _batches, schema=out_schema)
+
+
+def _make_batch_encoder(rows: list[tuple[str, str]]):
+    """Build the numpy rank-ordered BPE encode kernel for a merge
+    list: ``encode(words) -> list[list[str]]`` encodes EVERY word of
+    a batch in one flattened pass (round-3 verdict task 4 — retires
+    the per-distinct-word Python greedy loop).
+
+    All words' symbols live in one flat int-code array threaded by
+    prev/next linked-list arrays (word boundaries = -1, so words
+    can't merge into each other). Merge ranks are processed in
+    ASCENDING order from a heap of rank-bucketed candidate positions;
+    each pop applies ONE rank at every live position in the batch
+    simultaneously (vectorized validate → left-to-right chain-thin →
+    splice). Correctness leans on the same theorem the expr mode
+    documents: a merge at rank r only ever CREATES pairs consumed by
+    ranks > r, so newly spliced pairs are pushed forward, never
+    missed behind the cursor. Stale bucket entries (position merged
+    away, or its pair changed) are filtered by re-validation at pop
+    time. Python-level work is O(#distinct ranks touched) heap pops
+    per batch + O(chars) interning — no per-word merge loops."""
+    import numpy as np
+
+    R = len(rows)
+    sym_of: dict[str, int] = {}
+
+    def intern(s: str) -> int:
+        i = sym_of.get(s)
+        if i is None:
+            i = len(sym_of)
+            sym_of[s] = i
+        return i
+
+    a_ids = np.asarray([intern(a) for a, _ in rows], np.int64)
+    b_ids = np.asarray([intern(b) for _, b in rows], np.int64)
+    m_ids = np.asarray([intern(a + b) for a, b in rows], np.int64)
+    V = np.int64(1) << 21  # id space bound: merge symbols + any chars
+    keys = a_ids * V + b_ids
+    # (a,b) -> lowest rank (bpe_train can't emit duplicate pairs, but
+    # the kernel accepts arbitrary merge tables — min-rank wins, same
+    # as the brute min-rank-first loop)
+    order = np.lexsort((np.arange(R), keys))
+    pk, pv = keys[order], np.arange(R, dtype=np.int64)[order]
+    first = np.ones(len(pk), bool)
+    first[1:] = pk[1:] != pk[:-1]
+    pk, pv = pk[first], pv[first]
+    NO = np.int64(R)
+
+    base_strs = [""] * len(sym_of)
+    for s, i in sym_of.items():
+        base_strs[i] = s
+
+    def lookup(k: "np.ndarray") -> "np.ndarray":
+        if not len(pk):
+            return np.full(k.shape, NO, np.int64)
+        idx = np.minimum(np.searchsorted(pk, k), len(pk) - 1)
+        out = np.full(k.shape, NO, np.int64)
+        hitm = pk[idx] == k
+        out[hitm] = pv[idx[hitm]]
+        return out
+
+    # worker-local growth for chars the merge table never mentions
+    # (they can never merge; ids only need to be distinct in-process)
+    local_sym_of = dict(sym_of)
+    local_strs = list(base_strs)
+
+    def encode_words(words: list[str]) -> list[list[str]]:
+        import heapq
+
+        if not words:
+            return []
+        if R == 0:
+            return [list(w) for w in words]
+        lens = np.fromiter((len(w) for w in words), np.int64,
+                           len(words))
+        chars = "".join(words)
+        codes = np.empty(len(chars), np.int64)
+        get = local_sym_of.get
+        for i, c in enumerate(chars):
+            ci = get(c)
+            if ci is None:
+                ci = len(local_sym_of)
+                local_sym_of[c] = ci
+                local_strs.append(c)
+            codes[i] = ci
+        N = len(codes)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        nxt = np.arange(1, N + 1, dtype=np.int64)
+        nxt[ends - 1] = -1
+        prv = np.arange(-1, N - 1, dtype=np.int64)
+        prv[starts] = -1
+        alive = np.ones(N, bool)
+        sym = codes
+
+        buckets: dict[int, list] = {}
+        heap: list[int] = []
+
+        def push(pos: "np.ndarray", rk: "np.ndarray") -> None:
+            live = rk != NO
+            pos, rk = pos[live], rk[live]
+            if not pos.size:
+                return
+            for r in np.unique(rk):
+                r = int(r)
+                sel = pos[rk == r]
+                got = buckets.get(r)
+                if got is None:
+                    buckets[r] = [sel]
+                    heapq.heappush(heap, r)
+                else:
+                    got.append(sel)
+
+        p0 = np.nonzero(nxt != -1)[0]
+        if p0.size:
+            push(p0, lookup(sym[p0] * V + sym[nxt[p0]]))
+
+        while heap:
+            r = heapq.heappop(heap)
+            arrs = buckets.pop(r)
+            cand = np.unique(arrs[0] if len(arrs) == 1
+                             else np.concatenate(arrs))
+            a, b, m = int(a_ids[r]), int(b_ids[r]), int(m_ids[r])
+            q = nxt[cand]
+            ok = alive[cand] & (q != -1)
+            cand, q = cand[ok], q[ok]
+            ok = (sym[cand] == a) & (sym[q] == b)
+            cand, q = cand[ok], q[ok]
+            if not cand.size:
+                continue
+            if a == b and cand.size > 1:
+                # left-to-right non-overlap: within each linked chain
+                # of matches (aaaa...), keep alternating positions
+                idx = np.arange(cand.size)
+                linked = np.empty(cand.size, bool)
+                linked[0] = False
+                linked[1:] = nxt[cand[:-1]] == cand[1:]
+                start_at = np.maximum.accumulate(
+                    np.where(~linked, idx, 0))
+                keep = ((idx - start_at) % 2) == 0
+                cand, q = cand[keep], q[keep]
+            # splice: cand absorbs q
+            sym[cand] = m
+            alive[q] = False
+            nq = nxt[q]
+            nxt[cand] = nq
+            h = nq != -1
+            prv[nq[h]] = cand[h]
+            # freshly created pairs (all ranks > r by the theorem)
+            push(cand[h], lookup(np.int64(m) * V + sym[nq[h]]))
+            pp = prv[cand]
+            h2 = pp != -1
+            push(pp[h2], lookup(sym[pp[h2]] * V + np.int64(m)))
+
+        live_sym = sym[alive]
+        toks_flat = [local_strs[s] for s in live_sym]
+        counts = np.add.reduceat(alive.astype(np.int64), starts)
+        out, off = [], 0
+        for c in counts:
+            out.append(toks_flat[off:off + c])
+            off += c
+        return out
+
+    return encode_words

@@ -181,3 +181,63 @@ def test_encode_inline_cap(spark, docs_id_df):
         bpe_encode(docs_id_df, big, mode="expr")
     with pytest.raises(ValueError, match="mode"):
         bpe_encode(docs_id_df, big, mode="nope")
+
+
+def test_batch_kernel_matches_brute_at_50k_merges():
+    """Round-3 verdict task 4: the numpy batch kernel must reproduce
+    the canonical min-rank-first greedy loop at production merge-list
+    size (50k synthetic merges, many unreachable — the kernel accepts
+    arbitrary tables). Pure-kernel test, no Spark."""
+    import random
+
+    from mergeaddressesandbuildings_spark.operators.bpe import (
+        _make_batch_encoder,
+    )
+
+    rng = random.Random(42)
+    syms = [chr(c) for c in range(97, 123)]
+    merge_rows, seen = [], set()
+    while len(merge_rows) < 50_000:
+        a, b = rng.choice(syms), rng.choice(syms)
+        if (a, b) in seen or len(a) + len(b) > 24:
+            continue
+        seen.add((a, b))
+        merge_rows.append((a, b))
+        syms.append(a + b)
+    rank_of = {p: i for i, p in enumerate(merge_rows)}
+
+    def brute_min_rank(w):
+        s = list(w)
+        while len(s) > 1:
+            best = None
+            for i in range(len(s) - 1):
+                r = rank_of.get((s[i], s[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = merge_rows[best]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    enc = _make_batch_encoder(merge_rows)
+    words = ["".join(rng.choice("abcdefgh")
+                     for _ in range(rng.randint(1, 30)))
+             for _ in range(300)]
+    words += ["a" * k for k in range(1, 12)]  # repeated-symbol chains
+    words += ["zzqzzq", "xyxyxyxy"]
+    got = enc(words)
+    assert len(got) == len(words)
+    for w, g in zip(words, got):
+        assert "".join(g) == w, w  # tokens reassemble the word
+        assert g == brute_min_rank(w), w
+    # second call reuses worker-local interning state safely
+    assert enc(["abba"])[0] == brute_min_rank("abba")
