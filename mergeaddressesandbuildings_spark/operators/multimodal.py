@@ -47,6 +47,7 @@ try:  # real codecs, absent in this sandbox — gate, never hard-import
     from PIL import Image as _PIL_Image  # noqa: F401
     _HAVE_PIL = True
 except Exception:
+    _PIL_Image = None
     _HAVE_PIL = False
 
 _MAGIC = b"MMF1"
@@ -94,16 +95,74 @@ THUMBS = T.StructType([
 ])
 
 
-def _parse_header(buf: bytes) -> tuple[str, int, int, int]:
-    if buf[:4] != _MAGIC:
-        if _HAVE_PIL:
-            raise NotImplementedError("real codec path not wired in sandbox")
-        raise NotImplementedError(
-            "unknown media container (no PIL/ffmpeg in sandbox); "
-            "only MMF1 payloads are decodable here"
+_PIL_CHANNELS = {"1": 1, "L": 1, "P": 1, "LA": 2, "RGB": 3, "RGBA": 4,
+                 "CMYK": 4, "YCbCr": 3, "I": 1, "F": 1}
+
+
+def _no_codec(buf: bytes) -> NotImplementedError:
+    if _HAVE_PIL:
+        return NotImplementedError(
+            f"unsupported media container (magic={buf[:4]!r}); PIL is "
+            "present but could not open it, and video/audio codecs "
+            "(ffmpeg/librosa) are not wired"
         )
-    kind_b, a, b, c = struct.unpack_from("<BIII", buf, 4)
-    return _KINDS[kind_b], a, b, c
+    return NotImplementedError(
+        "unknown media container (no PIL/ffmpeg in sandbox); "
+        "only MMF1 payloads are decodable here"
+    )
+
+
+def _parse_header(buf: bytes) -> tuple[str, int, int, int]:
+    """Header-only probe: (kind, a, b, c) without touching sample
+    bytes. MMF1 reads the packed header; real image containers go
+    through PIL's lazy open (size/mode available without pixel load)
+    when PIL is importable — the gated real-codec branch."""
+    if buf[:4] == _MAGIC:
+        kind_b, a, b, c = struct.unpack_from("<BIII", buf, 4)
+        return _KINDS[kind_b], a, b, c
+    if _HAVE_PIL:
+        import io
+        try:
+            img = _PIL_Image.open(io.BytesIO(buf))
+            w, h = img.size
+            ch = _PIL_CHANNELS.get(img.mode, len(img.getbands()))
+            return "image", int(w), int(h), int(ch)
+        except NotImplementedError:
+            raise
+        except Exception:
+            pass
+    raise _no_codec(buf)
+
+
+def decode_payload(buf: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    """Full decode: (kind, a, b, c, samples). ``samples`` is the flat
+    u8 pixel stream (image/video) or i16 sample stream (audio). MMF1
+    is a zero-copy frombuffer; real image containers (PNG/JPEG/...)
+    decode via PIL when importable — the gated real-codec branch the
+    sandbox cannot exercise with genuine PIL (tests drive it with a
+    functional fake; see tests/test_multimodal.py)."""
+    if buf[:4] == _MAGIC:
+        kind_b, a, b, c = struct.unpack_from("<BIII", buf, 4)
+        kind = _KINDS[kind_b]
+        raw = buf[17:]
+        samples = np.frombuffer(
+            raw, dtype=np.int16 if kind == "audio" else np.uint8)
+        return kind, a, b, c, samples
+    if _HAVE_PIL:
+        import io
+        try:
+            img = _PIL_Image.open(io.BytesIO(buf))
+            arr = np.asarray(img)
+        except NotImplementedError:
+            raise
+        except Exception:
+            raise _no_codec(buf) from None
+        arr = np.ascontiguousarray(arr, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, ch = arr.shape
+        return "image", int(w), int(h), int(ch), arr.reshape(-1)
+    raise _no_codec(buf)
 
 
 def _pack(kind: int, a: int, b: int, c: int, samples: np.ndarray) -> bytes:
@@ -203,10 +262,8 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
             mids, kinds, feats = [], [], []
             for mid, buf in zip(b["media_id"].to_numpy(), b["payload"]):
                 buf = bytes(buf)
-                kind, _, _, _ = _parse_header(buf)
-                raw = buf[17:]
-                arr = (np.frombuffer(raw, dtype=np.int16) if kind == "audio"
-                       else np.frombuffer(raw, dtype=np.uint8)).astype(np.float64)
+                kind, _, _, _, samples = decode_payload(buf)
+                arr = samples.astype(np.float64)
                 n = len(arr) - (len(arr) % dim) or dim
                 binned = arr[:n].reshape(dim, -1).mean(axis=1) if n >= dim \
                     else np.resize(arr, dim)
@@ -258,11 +315,11 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
             out = {"media_id": [], "width": [], "height": [], "thumb": []}
             for mid, buf in zip(b["media_id"].to_numpy(), b["payload"]):
                 buf = bytes(buf)
-                kind, w, h, ch = _parse_header(buf)
+                kind, w, h, ch, samples = decode_payload(buf)
                 if kind != "image":
                     continue
-                img = np.frombuffer(buf[17:17 + w * h * ch], dtype=np.uint8) \
-                        .reshape(h, w, ch).astype(np.float64)
+                img = samples[:w * h * ch].reshape(h, w, ch) \
+                    .astype(np.float64)
                 ys = np.linspace(0, h, out_h + 1).astype(int)
                 xs = np.linspace(0, w, out_w + 1).astype(int)
                 thumb = np.empty((out_h, out_w, ch), dtype=np.uint8)

@@ -95,3 +95,122 @@ def test_features_feed_ann(spark):
     top = similarity.cosine_topk_bruteforce(feats, qs, k=3)
     got = top.groupBy("qid").count().collect()
     assert all(r["count"] == 3 for r in got)
+
+
+# ------------------------------------------------------- real-codec gate
+
+def _png_encode(arr: "np.ndarray") -> bytes:
+    """Minimal real PNG encoder (pure stdlib): 8-bit RGB/gray,
+    filter 0 on every row. Produces bytes any PNG decoder accepts."""
+    import struct
+    import zlib
+
+    h, w, ch = arr.shape
+    color = {1: 0, 3: 2}[ch]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+class _FakePILImage:
+    """Functional PIL.Image stand-in: genuinely decodes the PNG byte
+    stream (zlib inflate + filter-0 strip), exposing the `open()` /
+    `.size` / `.mode` / __array__ surface multimodal.py's gated branch
+    uses. Round-3 verdict task 6: keeps the real-codec gate from
+    bit-rotting while the sandbox lacks PIL."""
+
+    def __init__(self, arr, mode):
+        self._arr = arr
+        self.mode = mode
+
+    @property
+    def size(self):
+        return (self._arr.shape[1], self._arr.shape[0])
+
+    def getbands(self):
+        return tuple(self.mode)
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._arr if self._arr.shape[2] > 1 else self._arr[:, :, 0]
+        return a.astype(dtype) if dtype is not None else a
+
+    @staticmethod
+    def open(fp):
+        import struct
+        import zlib
+
+        buf = fp.read()
+        if buf[:8] != b"\x89PNG\r\n\x1a\n":
+            raise OSError("cannot identify image file")
+        pos, idat, w = 8, b"", None
+        while pos < len(buf):
+            (ln,) = struct.unpack_from(">I", buf, pos)
+            tag = buf[pos + 4:pos + 8]
+            body = buf[pos + 8:pos + 8 + ln]
+            if tag == b"IHDR":
+                w, h, depth, color = struct.unpack_from(">IIBB", body)
+                assert depth == 8 and color in (0, 2)
+                ch = 3 if color == 2 else 1
+            elif tag == b"IDAT":
+                idat += body
+            pos += 12 + ln
+        raw = zlib.decompress(idat)
+        stride = 1 + w * ch
+        rows = [np.frombuffer(raw[y * stride + 1:(y + 1) * stride],
+                              dtype=np.uint8)
+                for y in range(h)]
+        arr = np.stack(rows).reshape(h, w, ch)
+        return _FakePILImage(arr, "RGB" if ch == 3 else "L")
+
+
+@pytest.fixture
+def fake_pil(monkeypatch):
+    monkeypatch.setattr(mm, "_PIL_Image", _FakePILImage)
+    monkeypatch.setattr(mm, "_HAVE_PIL", True)
+
+
+def test_real_codec_gate_decodes_png(fake_pil):
+    """With a (functional fake) PIL present, the gated branch decodes a
+    real PNG byte string end-to-end: header probe + full pixel decode."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    png = _png_encode(arr)
+
+    kind, w, h, ch = mm._parse_header(png)
+    assert (kind, w, h, ch) == ("image", 4, 5, 3)
+
+    kind, w, h, ch, samples = mm.decode_payload(png)
+    assert (kind, w, h, ch) == ("image", 4, 5, 3)
+    np.testing.assert_array_equal(samples.reshape(5, 4, 3), arr)
+
+    # grayscale round-trip (2-D PIL array -> 1-channel samples)
+    g = rng.integers(0, 256, size=(3, 6, 1), dtype=np.uint8)
+    kind, w, h, ch, samples = mm.decode_payload(_png_encode(g))
+    assert (kind, w, h, ch) == ("image", 6, 3, 1)
+    np.testing.assert_array_equal(samples.reshape(3, 6, 1), g)
+
+
+def test_real_codec_gate_both_ways(fake_pil):
+    """PIL present but the payload is no image it can open -> the loud
+    gate still fires (video/audio codecs stay unwired); MMF1 payloads
+    keep taking the fast path untouched by the PIL branch."""
+    with pytest.raises(NotImplementedError, match="PIL is present"):
+        mm.decode_payload(b"JUNKDATA" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError, match="PIL is present"):
+        mm._parse_header(b"\x1aRIFFJUNK" + b"\x00" * 32)
+    pdf = mm.gen_media_pdf(np.arange(3))
+    buf = bytes(pdf["payload"][0])
+    kind, *_ , samples = mm.decode_payload(buf)
+    assert kind in ("image", "audio", "video") and len(samples) > 0
+
+
+def test_no_codec_gate_message_without_pil(monkeypatch):
+    monkeypatch.setattr(mm, "_HAVE_PIL", False)
+    with pytest.raises(NotImplementedError, match="no PIL/ffmpeg"):
+        mm.decode_payload(_png_encode(np.zeros((2, 2, 3), np.uint8)))
