@@ -57,6 +57,60 @@ def _value_hash(cols, rows):
     return h.hexdigest()
 
 
+def connect_oracle(sf_dir: str):
+    """A DuckDB connection with the driver's table views registered."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def run_window(spark, con, names, qs, oracles, sf_dir, report=print):
+    """Replay the driver's per-query compare over ``names``; returns the
+    list of red query names. Importable so the pytest suite can assert
+    full-registry oracle parity (round-3 verdict task 8) with the same
+    code path the CLI pre-flight uses."""
+    reds = []
+    for name in names:
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001 - report and continue
+            report(f"RED  {name}: spark error {type(e).__name__}: {e}")
+            reds.append(name)
+            continue
+        sql = oracles.get(name)
+        if not sql:
+            report(f"---  {name}: no_oracle ({len(srows)} spark rows)")
+            continue
+        try:
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            report(f"RED  {name}: oracle error {type(e).__name__}: {e}")
+            reds.append(name)
+            continue
+        rows_ok = len(srows) == len(orows)
+        schema_ok = sorted(scols) == sorted(ocols)
+        hash_ok = (
+            rows_ok and schema_ok
+            and _value_hash(scols, srows) == _value_hash(ocols, orows)
+        )
+        tag = "ok  " if (rows_ok and schema_ok and hash_ok) else "RED "
+        report(f"{tag} {name}: rows={len(srows)}/{len(orows)} "
+               f"schema={schema_ok} hash={hash_ok}")
+        if tag.startswith("RED"):
+            reds.append(name)
+    return reds
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -65,7 +119,6 @@ def main():
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args()
 
-    import duckdb
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry
@@ -77,12 +130,7 @@ def main():
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(args.sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    con = connect_oracle(args.sf_dir)
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
@@ -90,39 +138,7 @@ def main():
     if args.only:
         names = [n for n in args.only.split(",") if n in qs]
 
-    reds = []
-    for name in names:
-        try:
-            sdf = qs[name](spark, args.sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001 - report and continue
-            print(f"RED  {name}: spark error {type(e).__name__}: {e}")
-            reds.append(name)
-            continue
-        sql = oracles.get(name)
-        if not sql:
-            print(f"---  {name}: no_oracle ({len(srows)} spark rows)")
-            continue
-        try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"RED  {name}: oracle error {type(e).__name__}: {e}")
-            reds.append(name)
-            continue
-        rows_ok = len(srows) == len(orows)
-        schema_ok = sorted(scols) == sorted(ocols)
-        hash_ok = (
-            rows_ok and schema_ok
-            and _value_hash(scols, srows) == _value_hash(ocols, orows)
-        )
-        tag = "ok  " if (rows_ok and schema_ok and hash_ok) else "RED "
-        print(f"{tag} {name}: rows={len(srows)}/{len(orows)} "
-              f"schema={schema_ok} hash={hash_ok}")
-        if tag.startswith("RED"):
-            reds.append(name)
+    reds = run_window(spark, con, names, qs, oracles, args.sf_dir)
     print(f"\n{len(names) - len(reds)}/{len(names)} green"
           + (f"; RED: {reds}" if reds else ""))
     spark.stop()
