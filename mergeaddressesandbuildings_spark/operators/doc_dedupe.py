@@ -76,14 +76,13 @@ def minhash_signatures(sh: DataFrame, k: int = N_MINHASH,
     return sh.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS,
-                        band_key: str = "hash") -> DataFrame:
-    """LSH banding: equal band-slice → candidate pair (doc_a < doc_b).
-
-    ``band_key="hash"`` buckets on xxhash64 of the band slice (compact
-    shuffle key — the scale default); ``band_key="string"`` buckets on
-    the comma-joined slice itself (bit-identical across engines — the
-    oracle-paired mode)."""
+def banded_signatures(sigs: DataFrame, n_bands: int = N_BANDS,
+                      band_key: str = "hash") -> DataFrame:
+    """(doc_id, band_id, band_hash) — each signature exploded into its
+    LSH band keys. Public so scale probes can measure band-bucket skew
+    (the groupBy(band_id, band_hash) size distribution IS the
+    candidate-join cost model: a bucket of size s contributes s^2 join
+    work) with exactly the keys the candidate join shuffles on."""
     k = N_MINHASH
     rows_per_band = k // n_bands
 
@@ -102,9 +101,20 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS,
             for b in range(n_bands)
         ])
     )
-    banded = sigs.select("doc_id", bands.alias("b")).select(
+    return sigs.select("doc_id", bands.alias("b")).select(
         "doc_id", "b.band_id", "b.band_hash"
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS,
+                        band_key: str = "hash") -> DataFrame:
+    """LSH banding: equal band-slice → candidate pair (doc_a < doc_b).
+
+    ``band_key="hash"`` buckets on xxhash64 of the band slice (compact
+    shuffle key — the scale default); ``band_key="string"`` buckets on
+    the comma-joined slice itself (bit-identical across engines — the
+    oracle-paired mode)."""
+    banded = banded_signatures(sigs, n_bands, band_key)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
