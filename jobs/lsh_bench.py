@@ -112,10 +112,12 @@ def main() -> None:
     t2 = time.monotonic()
     cands = doc_dedupe.lsh_candidate_pairs(sigs, band_key="hash").persist()
     n_cands = cands.count()  # materializes: verify reuses, not recomputes
+    phases["candidates"] = round(time.monotonic() - t2, 2)
+    t2b = time.monotonic()
     pairs = doc_dedupe.jaccard_verify(sh, cands, args.threshold)
     pairs = pairs.persist()
     n_pairs = pairs.count()
-    phases["pairs"] = round(time.monotonic() - t2, 2)
+    phases["verify"] = round(time.monotonic() - t2b, 2)
 
     fp_row = {"n_clustered": 0, "n_clusters": 0, "fp": 0}
     if not args.skip_clusters:

@@ -137,7 +137,14 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFra
     docs_in_play = pairs.select(F.col("doc_a").alias("doc_id")).union(
         pairs.select("doc_b")
     ).distinct()
-    sh_c = sh.join(docs_in_play, "doc_id")
+    # Materialize the candidate-restricted shingle slice ONCE: it feeds
+    # three consumers (sizes, x-side, y-side of the common-shingle
+    # join), and without the persist each recomputes the full corpus
+    # shingling upstream — measured at 1M docs/local[16] as 3x the
+    # shingle pass, ~60% of the whole dedup wall (jobs/lsh_bench.py).
+    # The slice is candidate-bounded (dup docs, not the corpus), so
+    # caching it is safe at any scale.
+    sh_c = sh.join(docs_in_play, "doc_id").persist()
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     common = (
