@@ -65,6 +65,11 @@ HEADLINE = [
     "bloom_filtered_orders",
     "pmi_collocations",
     "doc_budget_apportion",
+    # round-4: bpe_encode PRODUCTION mode (numpy batch kernel, 50k
+    # synthetic merges) — verdict task 4's "no longer the per-batch
+    # floor" evidence; the registered doc_bpe_encode times the
+    # <=256-merge JVM replace-chain mode instead
+    "doc_bpe_encode_arrow",
     # spatial_eps_clusters is deliberately NOT benched: at sf0.1 the
     # fixed 251x241 synthetic grid saturates (mean degree ~28 -> one
     # giant component), which times percolation physics rather than
@@ -108,6 +113,34 @@ def _minhash_scale_mode(spark, sf_dir):
     return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b")
 
 
+def _bpe_encode_arrow_mode(spark, sf_dir):
+    """bpe_encode PRODUCTION mode: the mapInPandas numpy rank-ordered
+    batch kernel with a deterministic 50k-rank synthetic merge table
+    (same construction as tests/test_bpe.py's 50k parity test). The
+    registered `doc_bpe_encode` query times the <=256-merge JVM
+    replace-chain mode; this entry times the kernel the 100 TB path
+    actually runs."""
+    import random
+
+    from mergeaddressesandbuildings_spark.operators import bpe
+
+    rng = random.Random(42)
+    syms = [chr(c) for c in range(97, 123)]
+    rows, seen = [], set()
+    while len(rows) < 50_000:
+        a, b = rng.choice(syms), rng.choice(syms)
+        if (a, b) in seen or len(a) + len(b) > 24:
+            continue
+        seen.add((a, b))
+        rows.append((len(rows), a, b, a + b, 1))
+        syms.append(a + b)
+    merges = spark.createDataFrame(
+        rows, "rank int, lhs string, rhs string, merged string, freq bigint")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bpe.bpe_encode(docs, merges, mode="arrow")
+    return out.select("doc_id", "n_tokens")
+
+
 def main() -> None:
     from mergeaddressesandbuildings_spark.plans import queries as Q
     from mergeaddressesandbuildings_spark.plans.merge import run_merge
@@ -120,6 +153,7 @@ def main() -> None:
 
     runners = {n: Q.QUERIES[n] for n in HEADLINE if n in Q.QUERIES}
     runners["minhash_lsh_pairs_scale"] = _minhash_scale_mode
+    runners["doc_bpe_encode_arrow"] = _bpe_encode_arrow_mode
 
     # warmup: spin up the Python UDF workers + JIT before the first
     # timed query (excluded from every timing, including the total)

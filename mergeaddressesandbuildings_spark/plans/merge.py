@@ -99,19 +99,14 @@ def run_merge(
 
     records = extract.extract_records(pages, level=level)
     # materialize the extraction once: addresses & buildings both branch
-    # from it, and the barrier keeps `html` out of every later scan.
-    # This is ALSO the planning barrier for the whole pipeline: the
-    # extraction select is a very large expression tree (Morton cell
-    # covers, centroid/area folds — hundreds of Catalyst nodes), and
-    # every ACTION whose plan still contains it pays multi-second
-    # driver-side analysis even when the data is cached (measured at
-    # 20k pages: writing identical rows costs 0.3 s from a parquet-read
-    # plan vs 2.5-6 s from the live extraction tree). Cutting the tree
-    # here makes every downstream action plan against a parquet leaf.
-    if barrier_dir is not None:
-        records = _lineage_barrier(spark, records, f"{barrier_dir}/records")
-    else:
-        records = records.persist(StorageLevel.MEMORY_AND_DISK)
+    # from it, and persisting here keeps `html` out of every later scan.
+    # NOT a parquet barrier: records still carries the page-sized
+    # payload columns, and writing them to scratch parquet costs more
+    # than the planning time the barrier saves (measured round 4 at
+    # 20k pages/local[32]: parquet-barriered records pushed the merge
+    # median from ~18 s to ~30 s). The plan-size cap happens at
+    # barrier #1 below, where addresses/buildings are payload-free.
+    records = records.persist(StorageLevel.MEMORY_AND_DISK)
 
     addresses, new_buildings = extract.split_records(records)
 
@@ -128,14 +123,7 @@ def run_merge(
 
     if existing_osm is not None:
         ex_nodes, ex_ways = extract.existing_to_tables(existing_osm, level=level)
-        # ex_ways carries the same giant centroid/area/cover expression
-        # shapes as the extraction — barrier it for the same reason as
-        # records above (ex_nodes is a trivial filter+select consumed
-        # once inside the addresses barrier; leave it lazy).
-        if barrier_dir is not None:
-            ex_ways = _lineage_barrier(spark, ex_ways, f"{barrier_dir}/ex_ways")
-        else:
-            ex_ways = ex_ways.persist(StorageLevel.MEMORY_AND_DISK)
+        ex_ways = ex_ways.persist(StorageLevel.MEMORY_AND_DISK)
         addresses = dedupe.dedupe_addresses(addresses, ex_nodes)
         new_buildings = dedupe.dedupe_buildings(new_buildings, ex_ways)
         buildings = new_buildings.unionByName(ex_ways)

@@ -238,6 +238,7 @@ def test_batch_kernel_matches_brute_at_50k_merges():
     assert len(got) == len(words)
     for w, g in zip(words, got):
         assert "".join(g) == w, w  # tokens reassemble the word
+        assert g == brute_min_rank(w), w  # exact greedy-order parity
         assert g == brute_min_rank(w), w
     # second call reuses worker-local interning state safely
     assert enc(["abba"])[0] == brute_min_rank("abba")
