@@ -2143,35 +2143,34 @@ def doc_lm_perplexity(spark, sf_dir):
 )
 def warc_ingest_index(spark, sf_dir):
     """WARC container ingestion end-to-end (sources/warc.py): the
-    documents table is encoded into 4 per-record-gzip WARC archives
-    (driver-side fixture construction, same contract as
-    doc_stream_dedupe's stream input build — NOT part of the measured
-    read path), then read back via the binaryFile + mapInPandas
-    parser. Output: per-capture url, ISO timestamp, payload byte
-    length, sha256 of the payload — all derived by the oracle from
-    the table directly, so the archive encode → decompress → parse →
-    extract chain must be byte-exact to hash-match."""
-    import datetime
+    documents table is encoded into 4 per-record-gzip WARC archives by
+    the DISTRIBUTED writer (warc.write_warc_df — shard-parallel, one
+    task per archive, nothing corpus-sized ever reaches the driver;
+    the round-3 driver-side collect fixture build is retired), then
+    read back via the binaryFile + mapInPandas parser. Output:
+    per-capture url, ISO timestamp, payload byte length, sha256 of the
+    payload — all derived by the oracle from the table directly, so
+    the archive encode → decompress → parse → extract chain must be
+    byte-exact to hash-match."""
     import os
     import tempfile
 
     from mergeaddressesandbuildings_spark.sources import warc
 
-    rows = (_t(spark, sf_dir, "documents")
-            .select("doc_id", "source", "text")
-            .orderBy("doc_id").collect())
-    base = datetime.datetime(2025, 1, 1)
+    base_epoch = 1735689600  # 2025-01-01T00:00:00Z
     out_dir = tempfile.mkdtemp(prefix="warc_ingest_")
-    shards: dict[int, list] = {i: [] for i in range(4)}
-    for r in rows:
-        shards[r["doc_id"] % 4].append({
-            "url": f"http://{r['source']}.example.com/doc/{r['doc_id']}",
-            "ts": base + datetime.timedelta(seconds=r["doc_id"]),
-            "html": r["text"].encode("utf-8"),
-        })
-    for i, recs in shards.items():
-        warc.write_warc(os.path.join(out_dir, f"part{i}.warc.gz"),
-                        recs, gzip_members=True)
+    recs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).cast("int").alias("shard"),
+        F.concat(F.lit("http://"), F.col("source"),
+                 F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.date_format(
+            F.timestamp_seconds(F.col("doc_id") + F.lit(base_epoch)),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        F.encode("text", "utf-8").alias("html"),
+    )
+    manifest = warc.write_warc_df(recs, out_dir, gzip_members=True)
+    manifest.collect()  # shard-count-sized; materializes the writes
     parsed = warc.read_warc(spark, os.path.join(out_dir, "*.warc.gz"))
     return parsed.select(
         "url",

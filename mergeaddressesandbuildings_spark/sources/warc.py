@@ -230,3 +230,60 @@ def write_warc(path: str, records: list[dict],
             for c in chunks:
                 f.write(c)
     return len(records)
+
+
+def write_warc_df(df: DataFrame, out_dir: str,
+                  gzip_members: bool = True) -> DataFrame:
+    """Distributed WARC writer: shard-parallel archive construction —
+    the write half of the crawl-scale contract (read_warc's file-level
+    parallelism, mirrored). ``df`` columns: ``shard int`` (which
+    archive a row belongs to), ``url string``, ``ts`` (timestamp or
+    ISO string), ``html binary``. Writes ``<out_dir>/shard<k>.warc[.gz]``
+    — ONE file per distinct shard value, each produced by exactly one
+    task (rows are hash-repartitioned by shard, so a shard never
+    splits across tasks; a task may write several small shards).
+    Returns a manifest DataFrame ``(shard, path, n_records)`` with one
+    row per archive — collecting it is what runs the writes, and it is
+    shard-count-sized, never corpus-sized.
+
+    Determinism/idempotence: in-file record order is a sort on
+    (url, ts), record ids are content-derived (write_warc), and gzip
+    members carry mtime=0 — so a retried task rewrites an identical
+    file, and output bytes are parallelism-invariant. Contracts:
+    ``out_dir`` must be a shared filesystem path on a multi-node
+    cluster (run_merge ``barrier_dir`` rule), and one shard must fit a
+    task's memory — shard sizing is the caller's lever, matching the
+    Common-Crawl ~1 GB-per-archive convention the reader's scale note
+    documents."""
+    import os
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism, 1)
+    part = (
+        df.select("shard", "url", "ts", "html")
+        .repartition(n_part, "shard")
+        .sortWithinPartitions("shard", "url", "ts")
+    )
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def _write(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        bufs: dict[int, list[dict]] = {}
+        for b in batches:
+            for shard, url, ts, html in zip(
+                b["shard"], b["url"], b["ts"], b["html"]
+            ):
+                bufs.setdefault(int(shard), []).append(
+                    {"url": url, "ts": ts, "html": bytes(html)})
+        rows = []
+        for shard in sorted(bufs):
+            path = os.path.join(out_dir, f"shard{shard}{ext}")
+            n = write_warc(path, bufs[shard], gzip_members=gzip_members)
+            rows.append((shard, path, n))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["shard", "path", "n_records"])
+
+    return part.mapInPandas(
+        _write, schema="shard int, path string, n_records long")
