@@ -189,6 +189,37 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def line_repetition_stats(docs: DataFrame, sep: str = "\n") -> DataFrame:
+    """Gopher duplicate-line signals (Rae et al. 2021 repetition
+    filters: "duplicate line fraction" and "duplicate line character
+    fraction") per document, as exact integer numerator/denominator
+    pairs:
+
+    - ``dup_line_instances / n_lines``: line occurrences beyond each
+      line's first (a line appearing c times contributes c−1);
+    - ``dup_line_chars / n_line_chars``: the same mass in characters.
+
+    ZERO shuffles: lines live in a per-doc array and the counts are
+    array_distinct + aggregate folds — whole-stage-codegen column
+    exprs, embarrassingly parallel, the cheapest possible shape for a
+    per-doc signal at corpus scale (contrast repetition_stats, whose
+    cross-line grouping needs its two hash aggs). ``sep`` is the line
+    delimiter; pass " " to get per-word repetition mass instead."""
+    lines = F.split(F.col("text"), sep)
+    dist = F.array_distinct(lines)
+    zero = F.lit(0).cast("long")
+    tot_chars = F.aggregate(lines, zero, lambda a, x: a + F.length(x))
+    dis_chars = F.aggregate(dist, zero, lambda a, x: a + F.length(x))
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(dist)).cast("long")
+        .alias("dup_line_instances"),
+        tot_chars.alias("n_line_chars"),
+        (tot_chars - dis_chars).alias("dup_line_chars"),
+    )
+
+
 def quality_filter(docs: DataFrame) -> DataFrame:
     """Composite C4/Gopher-style document filter: one row PER INPUT DOC
     with a keep/drop verdict and the comma-joined names of every rule

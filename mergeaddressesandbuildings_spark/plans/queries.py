@@ -488,6 +488,47 @@ def doc_quality_counts(spark, sf_dir):
 
 
 @register(
+    "doc_line_repetition",
+    """
+    WITH enr AS (
+      SELECT doc_id,
+             source || chr(10) || replace(text, ' ', chr(10))
+                    || chr(10) || source AS text
+      FROM documents
+    ), l AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      FROM enr
+    ), g AS (
+      SELECT doc_id, line, count(*) AS c, length(line) AS len
+      FROM l GROUP BY doc_id, line
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_lines,
+           CAST(sum(c - 1) AS BIGINT) AS dup_line_instances,
+           CAST(sum(c * len) AS BIGINT) AS n_line_chars,
+           CAST(sum((c - 1) * len) AS BIGINT) AS dup_line_chars
+    FROM g GROUP BY doc_id
+    """,
+)
+def doc_line_repetition(spark, sf_dir):
+    """Gopher duplicate-line repetition mass (textstats.
+    line_repetition_stats — ZERO-shuffle array-fold signals). Fixture
+    enrichment gives every doc real line structure and a guaranteed
+    duplicated line (source framing both ends): the oracle re-derives
+    the counts from an unnest+group-by formulation, so the array-fold
+    shortcut (size - size(array_distinct), aggregate char folds) is
+    checked against an independent derivation."""
+    docs = _t(spark, sf_dir, "documents")
+    enr = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit("\n"),
+                 F.translate(F.col("text"), " ", "\n"),
+                 F.lit("\n"), F.col("source")).alias("text"),
+    )
+    return textstats.line_repetition_stats(enr)
+
+
+@register(
     "doc_lang_guess",
     """
     SELECT doc_id, lang,
@@ -3830,6 +3871,11 @@ def user_week_gapfill(spark, sf_dir):
 
 
 _DRIVER_WINDOW_TAIL = [
+    # NEW in round 4 — parked so the r4 head keeps its never-run/r1/r2
+    # rotation intact; continuously verified by the in-suite full-
+    # registry oracle sweep (tests/test_registry_oracle.py); rotate
+    # into the r5 head for its driver row.
+    "doc_line_repetition",
     # ROUND-4 ROTATION (round-3 verdict task 3): the head (everything
     # NOT listed here) is packed with the 14 never-driver-run entries,
     # the 6 whose latest driver row is r1, and the 30 oldest r2-latest

@@ -84,3 +84,38 @@ def test_quality_filter_null_text_is_too_short(spark):
     got = {r["doc_id"]: r for r in textstats.quality_filter(docs).collect()}
     assert got[0]["keep"] is False and "too_short" in got[0]["reasons"]
     assert "too_short" in got[1]["reasons"]
+
+
+def test_line_repetition_stats_exact(spark):
+    """Gopher dup-line mass: hand-computed integer pairs, incl. the
+    all-unique, all-duplicate, empty-line and single-line edges."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a\nb\nc"),            # no dups
+            (2, "x\nx\nx"),            # 2 dup instances of 'x'
+            (3, "ab\ncd\nab\n\n\ncd"), # dups: ab(+1), cd(+1), ''(+1)
+            (4, "solo"),               # single line, no separator
+            (5, ""),                   # split('') -> one empty line
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in textstats.line_repetition_stats(docs).collect()}
+    assert got[1] == {"doc_id": 1, "n_lines": 3, "dup_line_instances": 0,
+                      "n_line_chars": 3, "dup_line_chars": 0}
+    assert got[2] == {"doc_id": 2, "n_lines": 3, "dup_line_instances": 2,
+                      "n_line_chars": 3, "dup_line_chars": 2}
+    assert got[3] == {"doc_id": 3, "n_lines": 6, "dup_line_instances": 3,
+                      "n_line_chars": 8, "dup_line_chars": 4}
+    assert got[4] == {"doc_id": 4, "n_lines": 1, "dup_line_instances": 0,
+                      "n_line_chars": 4, "dup_line_chars": 0}
+    assert got[5] == {"doc_id": 5, "n_lines": 1, "dup_line_instances": 0,
+                      "n_line_chars": 0, "dup_line_chars": 0}
+
+
+def test_line_repetition_stats_word_mode(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam ham")], "doc_id long, text string")
+    r = textstats.line_repetition_stats(docs, sep=" ").collect()[0]
+    assert (r["n_lines"], r["dup_line_instances"]) == (4, 2)
+    assert (r["n_line_chars"], r["dup_line_chars"]) == (15, 8)
