@@ -76,6 +76,41 @@ def minhash_signatures(sh: DataFrame, k: int = N_MINHASH,
     return sh.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
 
 
+def minhash_signature_expr(text: Column, k: int = N_MINHASH, n: int = 2,
+                           hash: str = "xxhash64") -> Column:
+    """The signature as ONE row expression (``array<long>`` of k, NULL
+    when the doc has no n-grams) — no explode, no groupBy, no shuffle.
+
+    Bit-identical to ``minhash_signatures(shingles(docs, n))``: min is
+    duplicate-insensitive, so skipping ``array_distinct`` over the gram
+    array changes nothing, and the per-j hash kernels are shared with
+    ``_shingle_hash``. This is the streaming formulation (ST9): a
+    stateful query can't put a shuffle aggregate in front of
+    ``applyInPandasWithState``, and at 100 TB the batch path can use it
+    too to trade the shingle-explode shuffle for per-row array folds."""
+    ws = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(n), F.size(ws)),
+        lambda i: F.array_join(F.slice(ws, i - (n - 1), n), " "),
+    )
+
+    def h(j: int, s: Column) -> Column:
+        if hash == "xxhash64":
+            return F.xxhash64(F.concat(F.lit(f"mh{j}|"), s))
+        a, b = divmod(j, 4)
+        hex64 = F.sha2(F.concat(F.lit(f"mh{a}|"), s).cast("binary"), 256)
+        return F.conv(F.substring(hex64, 1 + 15 * b, 15), 16, 10).cast("long")
+
+    def fold(j: int) -> Column:
+        # NB: not `lambda s, j=j` — pyspark counts a defaulted second
+        # parameter as another lambda VARIABLE and j would bind to a
+        # fresh column instead of the Python int
+        return F.array_min(F.transform(grams, lambda s: h(j, s)))
+
+    sig = F.array(*[fold(j) for j in range(k)])
+    return F.when(F.size(ws) >= n, sig).otherwise(F.lit(None))
+
+
 def banded_signatures(sigs: DataFrame, n_bands: int = N_BANDS,
                       band_key: str = "hash") -> DataFrame:
     """(doc_id, band_id, band_hash) — each signature exploded into its

@@ -886,11 +886,11 @@ def _hex60_sql(s: str) -> str:
     return f"CAST('0x' || substr(sha256({s}), 1, 15) AS BIGINT)"
 
 
-def _minhash_oracle() -> str:
-    """Full MinHash→LSH-banding→Jaccard-verify pipeline in DuckDB SQL —
-    bit-identical to doc_dedupe.minhash_lsh_dedupe(hash='sha256'):
-    sha256 hex-window shingle hashes, 4 string-keyed bands of 4, exact
-    Jaccard on candidates only."""
+def _mh_sql_parts() -> tuple[str, str, str]:
+    """Shared DuckDB fragments of the sha256 MinHash family (bit-
+    identical to doc_dedupe hash='sha256'): 16 hex-window shingle
+    hashes, their per-doc mins, and the 4 string-keyed band rows.
+    Each expects CTEs named ``sh`` (doc_id, shingle) / ``sig``."""
     hs = ",\n         ".join(
         f"CAST('0x' || substr(sha256('mh{j // 4}|' || shingle), "
         f"{1 + 15 * (j % 4)}, 15) AS BIGINT) AS h{j}"
@@ -906,6 +906,16 @@ def _minhash_oracle() -> str:
         )
         for b in range(4)
     )
+    return hs, mins, band_rows
+
+
+def _minhash_oracle() -> str:
+    """Full MinHash→LSH-banding→Jaccard-verify pipeline in DuckDB SQL —
+    bit-identical to doc_dedupe.minhash_lsh_dedupe(hash='sha256'):
+    sha256 hex-window shingle hashes, 4 string-keyed bands of 4, exact
+    Jaccard on candidates only."""
+    hs, mins, _ = _mh_sql_parts()
+    _, _, band_rows = _mh_sql_parts()
     return f"""
     WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
     w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
@@ -1261,6 +1271,96 @@ def doc_stream_dedupe(spark, sf_dir):
     return (
         spark.table(name).filter(F.col("is_first"))
         .select("content_hash", F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def _minhash_stream_oracle() -> str:
+    """Batch twin of ST9 over the stream's exact corpus (originals +
+    one-token-appended copies at id+100000): LSH band candidates with
+    per-pair signature equal-slot counts."""
+    hs, mins, band_rows = _mh_sql_parts()
+    n_eq = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(16)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' zzz' AS text
+      FROM documents WHERE doc_id < 150
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+    sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+    hh AS (SELECT doc_id, shingle,
+         {hs}
+       FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b, CAST({n_eq} AS BIGINT) AS n_equal_slots
+    FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                JOIN sig sb ON sb.doc_id = c.doc_b
+    """
+
+
+@register("doc_stream_near_dup", _minhash_stream_oracle())
+def doc_stream_near_dup(spark, sf_dir):
+    """ST9 via a REAL streaming run: batch 1 = documents (doc_id<150),
+    batch 2 = near-dup copies (one appended token, id+100000). The
+    stateful LSH near-dup (streaming/minhash_stream.py) must pair every
+    batch-2 copy with its batch-1 original — plus any intra-corpus
+    near-dups — purely from cross-microbatch band-bucket state; the
+    oracle is batch LSH banding over the union with per-pair
+    equal-slot counts. sha256/string-band family for DuckDB
+    bit-parity; the xxhash64/hashed-band family is the scale mode,
+    same plan."""
+    import os
+    import tempfile
+
+    from mergeaddressesandbuildings_spark.streaming import minhash_stream
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150) \
+        .select("doc_id", "text")
+    src_dir = tempfile.mkdtemp(prefix="st9_src_")
+    docs.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(src_dir, "b1"))
+    copies = docs.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    copies.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(src_dir, "b2"))
+    flat = tempfile.mkdtemp(prefix="st9_flat_")
+    for sub in ("b1", "b2"):  # one data file per microbatch, ordered
+        d = os.path.join(src_dir, sub)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                os.symlink(os.path.join(d, f_),
+                           os.path.join(flat, f"{sub}.parquet"))
+
+    stream = minhash_stream.stream_near_dup(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(flat),
+        hash="sha256", band_key="string",
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"doc_stream_near_dup_{_STREAM_SEQ[0]}"
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("matched_doc_id").isNotNull())
+        .select(F.col("matched_doc_id").cast("long").alias("doc_a"),
+                F.col("doc_id").cast("long").alias("doc_b"),
+                F.col("n_equal_slots").cast("long").alias("n_equal_slots"))
+        .distinct()
     )
 
 
@@ -3876,6 +3976,7 @@ _DRIVER_WINDOW_TAIL = [
     # registry oracle sweep (tests/test_registry_oracle.py); rotate
     # into the r5 head for its driver row.
     "doc_line_repetition",
+    "doc_stream_near_dup",
     # ROUND-4 ROTATION (round-3 verdict task 3): the head (everything
     # NOT listed here) is packed with the 14 never-driver-run entries,
     # the 6 whose latest driver row is r1, and the 30 oldest r2-latest
