@@ -45,6 +45,11 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.6)
     ap.add_argument("--skip-clusters", action="store_true",
                     help="stop after verified pairs (pairs-only timing)")
+    ap.add_argument("--sig-mode", choices=["agg", "rowexpr"], default="agg",
+                    help="signature formulation: shingle-explode + min "
+                         "aggregate, or per-row array folds (zero-shuffle "
+                         "signatures; corpus never explodes — shingles are "
+                         "built only for candidate docs)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -78,8 +83,16 @@ def main() -> None:
         .repartition(64, "doc_id")
     )
 
-    sh = doc_dedupe.shingles(docs, n=2)
-    sigs = doc_dedupe.minhash_signatures(sh, hash="xxhash64")
+    if args.sig_mode == "rowexpr":
+        sh = None
+        sigs = docs.select(
+            "doc_id",
+            doc_dedupe.minhash_signature_expr(
+                F.col("text"), n=2, hash="xxhash64").alias("sig"),
+        ).filter(F.col("sig").isNotNull())
+    else:
+        sh = doc_dedupe.shingles(docs, n=2)
+        sigs = doc_dedupe.minhash_signatures(sh, hash="xxhash64")
     # materialize signatures once: the banding histogram and the
     # candidate join both branch from here (and at cluster scale sigs
     # would be a persisted/bucketed table, not recomputed per consumer)
@@ -114,7 +127,15 @@ def main() -> None:
     n_cands = cands.count()  # materializes: verify reuses, not recomputes
     phases["candidates"] = round(time.monotonic() - t2, 2)
     t2b = time.monotonic()
-    pairs = doc_dedupe.jaccard_verify(sh, cands, args.threshold)
+    if args.sig_mode == "rowexpr":
+        in_play = cands.select(F.col("doc_a").alias("doc_id")).union(
+            cands.select("doc_b")).distinct()
+        sh_v = doc_dedupe.shingles(
+            docs.join(in_play, "doc_id", "left_semi"), n=2)
+        pairs = doc_dedupe.jaccard_verify(sh_v, cands, args.threshold,
+                                          restrict=False)
+    else:
+        pairs = doc_dedupe.jaccard_verify(sh, cands, args.threshold)
     pairs = pairs.persist()
     n_pairs = pairs.count()
     phases["verify"] = round(time.monotonic() - t2b, 2)
@@ -156,6 +177,7 @@ def main() -> None:
         },
         "fingerprint": fp_row["fp"],
         "master": spark.sparkContext.master,
+        "sig_mode": args.sig_mode,
     }))
     spark.stop()
 

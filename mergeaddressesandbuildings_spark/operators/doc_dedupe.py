@@ -84,10 +84,15 @@ def minhash_signature_expr(text: Column, k: int = N_MINHASH, n: int = 2,
     Bit-identical to ``minhash_signatures(shingles(docs, n))``: min is
     duplicate-insensitive, so skipping ``array_distinct`` over the gram
     array changes nothing, and the per-j hash kernels are shared with
-    ``_shingle_hash``. This is the streaming formulation (ST9): a
-    stateful query can't put a shuffle aggregate in front of
-    ``applyInPandasWithState``, and at 100 TB the batch path can use it
-    too to trade the shingle-explode shuffle for per-row array folds."""
+    ``_shingle_hash``. This exists for the streaming formulation (ST9):
+    a stateful query can't put a shuffle aggregate in front of
+    ``applyInPandasWithState``. It is NOT the batch scale path —
+    measured ~2x slower than explode+agg for the signature pass (100k
+    docs, local[16], interleaved: 6.1/9.4 s agg vs 15.2/18.4 s rowexpr)
+    because higher-order-function lambdas are interpreted per element
+    while the explode+hash-agg pipeline whole-stage-codegens; the agg's
+    shuffle is ~1 row/doc (map-side partial mins), so there is no
+    shuffle saving to win back."""
     ws = F.split(text, " ")
     grams = F.transform(
         F.sequence(F.lit(n), F.size(ws)),
@@ -101,13 +106,23 @@ def minhash_signature_expr(text: Column, k: int = N_MINHASH, n: int = 2,
         hex64 = F.sha2(F.concat(F.lit(f"mh{a}|"), s).cast("binary"), 256)
         return F.conv(F.substring(hex64, 1 + 15 * b, 15), 16, 10).cast("long")
 
-    def fold(j: int) -> Column:
-        # NB: not `lambda s, j=j` — pyspark counts a defaulted second
-        # parameter as another lambda VARIABLE and j would bind to a
-        # fresh column instead of the Python int
-        return F.array_min(F.transform(grams, lambda s: h(j, s)))
-
-    sig = F.array(*[fold(j) for j in range(k)])
+    # ONE pass: per-gram k-vector of hashes, then an element-wise min
+    # fold. Naive `array(*[array_min(transform(grams, h_j)) ...])` is
+    # 16 separate lambda trees over the same grams expression — Catalyst
+    # does NOT CSE through higher-order-function lambdas, so the
+    # split/slice/join gram construction ran k times per row (measured
+    # 330 s vs 80 s for the signature pass at 300k docs, local[16]).
+    # NB inside transform lambdas: never `lambda s, j=j` — pyspark
+    # counts a defaulted second parameter as another lambda VARIABLE
+    # and j would bind to a fresh column instead of the Python int.
+    hashed = F.transform(
+        grams, lambda s: F.array(*[h(j, s) for j in range(k)])
+    )
+    sig = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(9223372036854775807).cast("long"), k),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+    )
     return F.when(F.size(ws) >= n, sig).otherwise(F.lit(None))
 
 
@@ -162,16 +177,21 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS,
     )
 
 
-def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float,
+                   restrict: bool = True) -> DataFrame:
     """Exact Jaccard for candidate pairs via shingle-set join.
 
     The shingle join is keyed by shingle but restricted to candidate
     docs (semi-join first), so cost is |candidate shingle lists|, not
-    corpus-quadratic.
+    corpus-quadratic. Pass ``restrict=False`` when ``sh`` is already
+    candidate-restricted (the rowexpr pipeline) to skip the redundant
+    restriction join — the persist below still applies.
     """
     docs_in_play = pairs.select(F.col("doc_a").alias("doc_id")).union(
         pairs.select("doc_b")
     ).distinct()
+    if not restrict:
+        docs_in_play = None
     # Materialize the candidate-restricted shingle slice ONCE: it feeds
     # three consumers (sizes, x-side, y-side of the common-shingle
     # join), and without the persist each recomputes the full corpus
@@ -179,7 +199,8 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFra
     # shingle pass, ~60% of the whole dedup wall (jobs/lsh_bench.py).
     # The slice is candidate-bounded (dup docs, not the corpus), so
     # caching it is safe at any scale.
-    sh_c = sh.join(docs_in_play, "doc_id").persist()
+    sh_c = (sh.join(docs_in_play, "doc_id") if docs_in_play is not None
+            else sh).persist()
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     common = (
@@ -208,13 +229,43 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFra
 
 
 def minhash_lsh_dedupe(docs: DataFrame, n: int = 2, threshold: float = 0.6,
-                       hash: str = "xxhash64") -> DataFrame:
+                       hash: str = "xxhash64",
+                       sig_mode: str = "agg") -> DataFrame:
     """Full MinHash→LSH→verify pipeline → near-dup pairs above threshold.
 
     ``hash="sha256"`` makes every stage bit-reproducible in DuckDB
-    (oracle-paired in plans/queries.py); the operator shape — one
-    signature agg, banded equi-join, candidate-restricted verify — is
-    identical in both modes."""
+    (oracle-paired in plans/queries.py); the operator shape — signature
+    pass, banded equi-join, candidate-restricted verify — is identical
+    in both modes.
+
+    ``sig_mode``:
+    - ``"agg"`` — shingle explode → k-min hash aggregate. THE SCALE
+      DEFAULT: the shuffle is ~1 row/doc thanks to map-side partial
+      mins and the whole pipeline whole-stage-codegens.
+    - ``"rowexpr"`` — signatures as per-row array folds
+      (``minhash_signature_expr``, zero shuffle), shingles built only
+      for candidate docs. Bit-identical pairs (asserted in tests;
+      fingerprint-identical at 300k docs), but measured ~2x SLOWER on
+      the signature pass (see ``minhash_signature_expr``) — kept as the
+      batch twin of the ST9 streaming path, for parity testing and for
+      corpora where the explode blowup genuinely can't be afforded.
+      Candidate pairs are persisted because three consumers (in-play
+      set, verify semi-join, restriction) would otherwise re-run the
+      band join.
+    """
+    if sig_mode == "rowexpr":
+        sigs = docs.select(
+            "doc_id",
+            minhash_signature_expr(F.col("text"), n=n, hash=hash).alias("sig"),
+        ).filter(F.col("sig").isNotNull())
+        cands = lsh_candidate_pairs(
+            sigs, band_key="hash" if hash == "xxhash64" else "string"
+        ).persist()
+        in_play = cands.select(F.col("doc_a").alias("doc_id")).union(
+            cands.select("doc_b")
+        ).distinct()
+        sh_c = shingles(docs.join(in_play, "doc_id", "left_semi"), n)
+        return jaccard_verify(sh_c, cands, threshold, restrict=False)
     sh = shingles(docs, n)
     sigs = minhash_signatures(sh, hash=hash)
     cands = lsh_candidate_pairs(

@@ -102,6 +102,20 @@ def test_batch_split_invariance_matches_batch_lsh(spark, tmp_path):
     assert p1 == p2 == want
 
 
+@pytest.mark.parametrize("hash", ["xxhash64", "sha256"])
+def test_batch_rowexpr_mode_bit_identical(spark, hash):
+    """minhash_lsh_dedupe(sig_mode='rowexpr') — zero-shuffle signatures,
+    candidate-only shingling — returns the exact same verified pairs as
+    the agg formulation, short docs included."""
+    rows = _DOCS + [_NEAR, _UNIQ, (7, "tiny")]
+    docs = spark.createDataFrame(rows, _SCHEMA)
+    agg = doc_dedupe.minhash_lsh_dedupe(docs, n=2, threshold=0.5, hash=hash)
+    row = doc_dedupe.minhash_lsh_dedupe(docs, n=2, threshold=0.5, hash=hash,
+                                        sig_mode="rowexpr")
+    assert sorted(map(tuple, row.collect())) == \
+        sorted(map(tuple, agg.collect()))
+
+
 def test_bucket_overflow_is_loud(spark, tmp_path):
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
