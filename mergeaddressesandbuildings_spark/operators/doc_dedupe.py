@@ -274,6 +274,69 @@ def minhash_lsh_dedupe(docs: DataFrame, n: int = 2, threshold: float = 0.6,
     return jaccard_verify(sh, cands, threshold)
 
 
+def incremental_near_dup(delta_docs: DataFrame, corpus_docs: DataFrame,
+                         corpus_sigs: DataFrame, n: int = 2,
+                         threshold: float = 0.6,
+                         hash: str = "xxhash64") -> tuple[DataFrame, DataFrame]:
+    """Near-dup pairs TOUCHING a delta, at O(delta + matched slice)
+    cost — the batch complement of ST9 and the dedup analogue of the
+    incremental merge absorption (plans/incremental.py): as new crawl
+    batches land, dedupe them against the whole corpus WITHOUT
+    re-deduping the corpus against itself.
+
+    Inputs: the delta documents, the corpus documents (read ONLY for
+    the candidate-restricted verify slice — never exploded or hashed
+    corpus-wide), and the corpus's maintained signature table
+    (doc_id, sig) — at scale a snapshot table the caller appends each
+    returned delta signature batch to, so signature maintenance is
+    itself O(delta).
+
+    Returns ``(pairs, delta_sigs)``:
+    - ``pairs`` — verified near-dup pairs (doc_a < doc_b) where at
+      least one side is a delta doc: delta x corpus candidates come
+      from a band equi-join of the delta's bands against the corpus
+      signature table (narrow scan, ~n_bands rows/doc); delta x delta
+      pairs are included via the banded self-join of the delta;
+    - ``delta_sigs`` — (doc_id, sig) for the delta, to append to the
+      signature table.
+
+    Equivalence (asserted in tests + the DuckDB-oracle-paired registry
+    query ``doc_incremental_near_dup``): pairs ==
+    ``minhash_lsh_dedupe(corpus ∪ delta)`` restricted to pairs with a
+    delta member — under the standing assumption that doc_ids are
+    globally unique across corpus and delta.
+    """
+    band_key = "hash" if hash == "xxhash64" else "string"
+    sh_delta = shingles(delta_docs, n)
+    delta_sigs = minhash_signatures(sh_delta, k=N_MINHASH, hash=hash)
+    # banded keys for both sides; the delta side is tiny, the corpus
+    # side is a narrow (doc_id, band_id, band_hash) scan of the
+    # signature table — no text, no shingles, no corpus explode
+    b_delta = banded_signatures(delta_sigs, band_key=band_key)
+    b_all = banded_signatures(
+        corpus_sigs.select("doc_id", "sig"), band_key=band_key
+    ).union(b_delta)
+    cands = (
+        b_delta.alias("d").join(b_all.alias("c"), ["band_id", "band_hash"])
+        .filter(F.col("d.doc_id") != F.col("c.doc_id"))
+        .select(
+            F.least(F.col("d.doc_id"), F.col("c.doc_id")).alias("doc_a"),
+            F.greatest(F.col("d.doc_id"), F.col("c.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+        .persist()  # three consumers: in-play set, verify semi-join
+    )
+    in_play = cands.select(F.col("doc_a").alias("doc_id")).union(
+        cands.select("doc_b")
+    ).distinct()
+    texts = corpus_docs.select("doc_id", "text").union(
+        delta_docs.select("doc_id", "text")
+    )
+    sh_c = shingles(texts.join(in_play, "doc_id", "left_semi"), n)
+    pairs = jaccard_verify(sh_c, cands, threshold, restrict=False)
+    return pairs, delta_sigs
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 2, min_common: int = 10) -> DataFrame:
     """Exact (no-LSH) n-gram overlap — the small-scale oracle-checkable
     variant: pairs sharing ≥ min_common distinct shingles."""

@@ -1309,6 +1309,67 @@ def _minhash_stream_oracle() -> str:
     """
 
 
+def _incremental_near_dup_oracle() -> str:
+    """Full-rebuild twin of the O(delta) incremental dedup: LSH +
+    Jaccard over corpus ∪ delta, restricted to pairs touching the
+    delta (delta ids are offset to 100000+, and the operator orients
+    doc_a < doc_b, so touching-delta == doc_b >= 100000)."""
+    hs, mins, band_rows = _mh_sql_parts()
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' zzz' AS text
+      FROM documents WHERE doc_id < 50
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+    sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+    hh AS (SELECT doc_id, shingle,
+         {hs}
+       FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      CAST(COUNT(*) AS BIGINT) AS n_common
+               FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+               JOIN cand c ON c.doc_a = x.doc_id AND c.doc_b = y.doc_id
+               GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+    FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a
+                  JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+      AND c.doc_b >= 100000
+    """
+
+
+@register("doc_incremental_near_dup", _incremental_near_dup_oracle())
+def doc_incremental_near_dup(spark, sf_dir):
+    """O(delta) near-dup absorption (doc_dedupe.incremental_near_dup):
+    a delta of one-token-appended copies is deduped against the corpus
+    through its maintained signature table — the corpus is never
+    exploded or re-hashed; the oracle is the full rebuild over
+    corpus ∪ delta restricted to pairs touching the delta."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150) \
+        .select("doc_id", "text")
+    delta = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus_sigs = doc_dedupe.minhash_signatures(
+        doc_dedupe.shingles(docs, 2), hash="sha256")
+    pairs, _sigs = doc_dedupe.incremental_near_dup(
+        delta, docs, corpus_sigs, n=2, threshold=0.5, hash="sha256")
+    return pairs.select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+
+
 @register("doc_stream_near_dup", _minhash_stream_oracle())
 def doc_stream_near_dup(spark, sf_dir):
     """ST9 via a REAL streaming run: batch 1 = documents (doc_id<150),
@@ -3977,6 +4038,7 @@ _DRIVER_WINDOW_TAIL = [
     # into the r5 head for its driver row.
     "doc_line_repetition",
     "doc_stream_near_dup",
+    "doc_incremental_near_dup",
     # ROUND-4 ROTATION (round-3 verdict task 3): the head (everything
     # NOT listed here) is packed with the 14 never-driver-run entries,
     # the 6 whose latest driver row is r1, and the 30 oldest r2-latest
