@@ -4032,13 +4032,28 @@ def user_week_gapfill(spark, sf_dir):
 
 
 _DRIVER_WINDOW_TAIL = [
-    # NEW in round 4 — parked so the r4 head keeps its never-run/r1/r2
-    # rotation intact; continuously verified by the in-suite full-
-    # registry oracle sweep (tests/test_registry_oracle.py); rotate
-    # into the r5 head for its driver row.
-    "doc_line_repetition",
-    "doc_stream_near_dup",
-    "doc_incremental_near_dup",
+    # ROUND-5 ROTATION (round-4 verdict task 1): the r5 head pulls in
+    # the only 3 registry queries that have never had a driver
+    # CORRECTNESS row (doc_line_repetition, doc_stream_near_dup,
+    # doc_incremental_near_dup) plus the 8 oldest parked entries
+    # (r2-latest), so the union of CORRECTNESS_r01..r05 covers all 111
+    # registry names. In exchange 11 r4-green simple-aggregate queries
+    # are parked below — every parked entry has a green driver row in a
+    # committed CORRECTNESS_r*.json (machine-checked by
+    # tests/test_registry_window.py::test_parked_means_driver_verified)
+    # and stays continuously oracle-checked by the in-suite sweep
+    # (tests/test_registry_oracle.py).
+    "pricing_summary",  # driver-green r4
+    "segment_revenue",  # driver-green r4
+    "order_year_matrix",  # driver-green r4
+    "priority_conditional_agg",  # driver-green r4
+    "distinct_users_per_type",  # driver-green r4
+    "top_revenue_orders",  # driver-green r4
+    "top_order_per_customer",  # driver-green r4
+    "latest_event_per_user",  # driver-green r4
+    "min_value_event_per_user",  # driver-green r4
+    "mkt_tag_value",  # driver-green r4
+    "haversine_to_hq",  # driver-green r4
     # ROUND-4 ROTATION (round-3 verdict task 3): the head (everything
     # NOT listed here) is packed with the 14 never-driver-run entries,
     # the 6 whose latest driver row is r1, and the 30 oldest r2-latest
@@ -4099,14 +4114,6 @@ _DRIVER_WINDOW_TAIL = [
     "revenue_rollup",  # driver-green r3
     "event_props_hist",  # driver-green r3
     "user_week_gapfill",  # driver-green r3
-    "nation_supplier_stats",  # driver-green r2
-    "union_segments",  # driver-green r2
-    "doc_quality_counts",  # driver-green r2
-    "error_click_pairs",  # driver-green r2
-    "sessionize_events",  # driver-green r2
-    "doc_token_counts",  # driver-green r2
-    "doc_lang_guess",  # driver-green r2
-    "doc_fingerprints",  # driver-green r2
 ]
 
 

@@ -44,3 +44,42 @@ def test_tail_names_exist():
 
     ghosts = [n for n in Q._DRIVER_WINDOW_TAIL if n not in Q.QUERIES]
     assert ghosts == [], f"tail references unknown queries: {ghosts}"
+
+
+def test_parked_means_driver_verified():
+    """Round-4 verdict task 7: 'parked ⇒ previously driver-verified'
+    must be machine-checked, not a comment convention. Every entry in
+    _DRIVER_WINDOW_TAIL must have a fully-green row (rows + schema +
+    hash where the oracle supports hashing) in SOME committed
+    CORRECTNESS_r*.json — a never-driver-run query may only live in the
+    head, where the next driver round will execute it."""
+    import glob
+    import json
+    import os
+
+    from mergeaddressesandbuildings_spark.plans import queries as Q
+
+    root = os.path.join(os.path.dirname(__file__), os.pardir)
+    green: set[str] = set()
+    records = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert records, "no committed CORRECTNESS_r*.json found at repo root"
+    for path in records:
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            ok = (
+                row.get("err") is None
+                and row.get("rows_match") in (True, None)
+                and row.get("schema_match") in (True, None)
+                and row.get("hash_match") in (True, None)
+                # rows-only checks (no oracle SQL) still set rows_match
+                and row.get("rows_match") is not False
+            )
+            if ok:
+                green.add(name)
+    never_verified = [n for n in Q._DRIVER_WINDOW_TAIL if n not in green]
+    assert never_verified == [], (
+        f"parked without any green driver CORRECTNESS row: "
+        f"{never_verified} — keep these in the head until a driver "
+        f"round records them green"
+    )
