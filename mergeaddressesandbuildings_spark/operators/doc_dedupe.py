@@ -33,6 +33,33 @@ N_BANDS = 4  # 4 rows per band
 N_SIMHASH_BITS = 60  # sha256 hex-window hash width (ids_sql.sha256_hash60_expr)
 SIMHASH_CHUNK_BITS = 15  # 4 chunks; pigeonhole: hamming<=3 => one chunk equal
 
+# Persisted intermediates from the most recent dedup invocation.
+# Long-lived sessions (the full-registry oracle sweep runs the dedup
+# family several times) would otherwise accumulate storage-memory
+# pressure, one leaked cache per call.  Each pipeline entry point
+# release_caches()-es the previous invocation's handles before
+# registering its own; callers that interleave result consumption can
+# release explicitly once results are materialized.
+_CACHES: list[DataFrame] = []
+
+
+def _track_cache(df: DataFrame) -> DataFrame:
+    """Register a persisted DataFrame for release by the NEXT dedup
+    invocation (or an explicit release_caches())."""
+    _CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every cache registered by prior dedup calls. Safe to
+    call at any time; lazily-recomputable plans are unaffected beyond
+    losing the cache."""
+    while _CACHES:
+        try:
+            _CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
 
 def shingles(docs: DataFrame, n: int = 2) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams, built with array
@@ -179,12 +206,27 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS,
 
 def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float,
                    restrict: bool = True) -> DataFrame:
-    """Exact Jaccard for candidate pairs via shingle-set join.
+    """Exact Jaccard for candidate pairs via PAIR-ANCHORED shingle
+    intersection.
 
-    The shingle join is keyed by shingle but restricted to candidate
-    docs (semi-join first), so cost is |candidate shingle lists|, not
-    corpus-quadratic. Pass ``restrict=False`` when ``sh`` is already
-    candidate-restricted (the rowexpr pipeline) to skip the redundant
+    Shape (round-4 verdict task 2): explode each candidate pair against
+    doc_a's shingle set (``pairs ⋈ sh on doc_a``), then equi-join on
+    ``(doc_b, shingle)`` against the shingle table — each (doc_id,
+    shingle) is distinct, so that join is 1:≤1 and the whole verify
+    costs ``|pairs| · avg_shingles``, independent of how many candidate
+    docs share any one shingle. The previous shingle SELF-join
+    (``sh ⋈ sh on shingle`` then semi-join against pairs) was quadratic
+    in the hottest shingle: a boilerplate shingle shared by a 10k-doc
+    template cluster generated ~5·10⁷ intermediate rows on that single
+    key before the pair restriction could prune (it can't push below
+    the join — the pair keys exist only post-join). The pair-anchored
+    plan is hot-shingle-immune and produces the identical pair set
+    (pairs with zero shared shingles drop out of the inner join in both
+    shapes; asserted equal in tests/test_lsh_bench_job.py's adversarial
+    template-cluster fixture).
+
+    Pass ``restrict=False`` when ``sh`` is already candidate-restricted
+    (the rowexpr/incremental pipelines) to skip the redundant
     restriction join — the persist below still applies.
     """
     docs_in_play = pairs.select(F.col("doc_a").alias("doc_id")).union(
@@ -193,24 +235,28 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float,
     if not restrict:
         docs_in_play = None
     # Materialize the candidate-restricted shingle slice ONCE: it feeds
-    # three consumers (sizes, x-side, y-side of the common-shingle
-    # join), and without the persist each recomputes the full corpus
-    # shingling upstream — measured at 1M docs/local[16] as 3x the
-    # shingle pass, ~60% of the whole dedup wall (jobs/lsh_bench.py).
-    # The slice is candidate-bounded (dup docs, not the corpus), so
-    # caching it is safe at any scale.
-    sh_c = (sh.join(docs_in_play, "doc_id") if docs_in_play is not None
-            else sh).persist()
+    # three consumers (sizes, the doc_a explode, the doc_b probe), and
+    # without the persist each recomputes the full corpus shingling
+    # upstream — measured at 1M docs/local[16] as 3x the shingle pass,
+    # ~60% of the whole dedup wall (jobs/lsh_bench.py). The slice is
+    # candidate-bounded (dup docs, not the corpus), so caching it is
+    # safe at any scale. Cache lifetime: registered with _track_cache —
+    # each new dedup invocation releases the previous invocation's
+    # caches, and callers that interleave collections can release
+    # explicitly via release_caches() (round-4 ADVICE leak item).
+    sh_c = _track_cache(
+        (sh.join(docs_in_play, "doc_id") if docs_in_play is not None
+         else sh).persist()
+    )
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     common = (
-        sh_c.alias("x")
-        .join(sh_c.alias("y"), "shingle")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        pairs
+        .join(sh_c.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh_c.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
         )
-        .join(pairs, ["doc_a", "doc_b"], "left_semi")  # only LSH candidates
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -253,14 +299,15 @@ def minhash_lsh_dedupe(docs: DataFrame, n: int = 2, threshold: float = 0.6,
       set, verify semi-join, restriction) would otherwise re-run the
       band join.
     """
+    release_caches()  # drop the previous invocation's persisted slices
     if sig_mode == "rowexpr":
         sigs = docs.select(
             "doc_id",
             minhash_signature_expr(F.col("text"), n=n, hash=hash).alias("sig"),
         ).filter(F.col("sig").isNotNull())
-        cands = lsh_candidate_pairs(
+        cands = _track_cache(lsh_candidate_pairs(
             sigs, band_key="hash" if hash == "xxhash64" else "string"
-        ).persist()
+        ).persist())
         in_play = cands.select(F.col("doc_a").alias("doc_id")).union(
             cands.select("doc_b")
         ).distinct()
@@ -306,6 +353,7 @@ def incremental_near_dup(delta_docs: DataFrame, corpus_docs: DataFrame,
     delta member — under the standing assumption that doc_ids are
     globally unique across corpus and delta.
     """
+    release_caches()  # drop the previous invocation's persisted slices
     band_key = "hash" if hash == "xxhash64" else "string"
     sh_delta = shingles(delta_docs, n)
     delta_sigs = minhash_signatures(sh_delta, k=N_MINHASH, hash=hash)
@@ -326,6 +374,7 @@ def incremental_near_dup(delta_docs: DataFrame, corpus_docs: DataFrame,
         .distinct()
         .persist()  # three consumers: in-play set, verify semi-join
     )
+    cands = _track_cache(cands)
     in_play = cands.select(F.col("doc_a").alias("doc_id")).union(
         cands.select("doc_b")
     ).distinct()
