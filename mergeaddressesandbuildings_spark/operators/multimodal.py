@@ -152,6 +152,15 @@ def decode_payload(buf: bytes) -> tuple[str, int, int, int, np.ndarray]:
         import io
         try:
             img = _PIL_Image.open(io.BytesIO(buf))
+            # Only 8-bit modes may flow into the uint8 feature stream:
+            # casting 16/32-bit ("I", "I;16") or float ("F") arrays to
+            # uint8 wraps silently, and palette ("P") arrays are lookup
+            # indices, not intensities. Convert what has a faithful
+            # 8-bit rendering; refuse (loud no-codec gate) what doesn't.
+            if img.mode in ("P", "PA", "1", "CMYK", "YCbCr"):
+                img = img.convert("RGB")
+            elif img.mode not in ("L", "LA", "RGB", "RGBA"):
+                raise _no_codec(buf)  # I / I;16 / F: lossy to u8
             arr = np.asarray(img)
         except NotImplementedError:
             raise

@@ -204,19 +204,31 @@ def line_repetition_stats(docs: DataFrame, sep: str = "\n") -> DataFrame:
     exprs, embarrassingly parallel, the cheapest possible shape for a
     per-doc signal at corpus scale (contrast repetition_stats, whose
     cross-line grouping needs its two hash aggs). ``sep`` is the line
-    delimiter; pass " " to get per-word repetition mass instead."""
-    lines = F.split(F.col("text"), sep)
+    delimiter, matched LITERALLY (quoted with \\Q...\\E before it
+    reaches Java's regex split, so "." or "|" separate on the
+    character, not on any-char/alternation — same semantics as the
+    DuckDB oracle's string_split); pass " " to get per-word repetition
+    mass instead. NULL text yields NULL in every stat column (the
+    honest signal — size(NULL) would otherwise leak -1 as a count)."""
+    # \Q...\E literal-quotes sep for Java's regex engine; an embedded
+    # \E in sep would end the quote early, so split-and-rejoin it
+    lit_sep = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    lines = F.split(F.col("text"), lit_sep)
     dist = F.array_distinct(lines)
     zero = F.lit(0).cast("long")
     tot_chars = F.aggregate(lines, zero, lambda a, x: a + F.length(x))
     dis_chars = F.aggregate(dist, zero, lambda a, x: a + F.length(x))
+
+    def guarded(col):
+        return F.when(F.col("text").isNotNull(), col)
+
     return docs.select(
         "doc_id",
-        F.size(lines).cast("long").alias("n_lines"),
-        (F.size(lines) - F.size(dist)).cast("long")
+        guarded(F.size(lines).cast("long")).alias("n_lines"),
+        guarded((F.size(lines) - F.size(dist)).cast("long"))
         .alias("dup_line_instances"),
-        tot_chars.alias("n_line_chars"),
-        (tot_chars - dis_chars).alias("dup_line_chars"),
+        guarded(tot_chars).alias("n_line_chars"),
+        guarded(tot_chars - dis_chars).alias("dup_line_chars"),
     )
 
 

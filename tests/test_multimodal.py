@@ -214,3 +214,47 @@ def test_no_codec_gate_message_without_pil(monkeypatch):
     monkeypatch.setattr(mm, "_HAVE_PIL", False)
     with pytest.raises(NotImplementedError, match="no PIL/ffmpeg"):
         mm.decode_payload(_png_encode(np.zeros((2, 2, 3), np.uint8)))
+
+
+def test_non_8bit_pil_modes_refused_or_converted(monkeypatch):
+    """16/32-bit and float PIL modes must trip the loud no-codec gate
+    (a uint8 cast would wrap silently); palette mode must be CONVERTED
+    (indices are not intensities), never passed through raw."""
+
+    class _ModeImage:
+        def __init__(self, mode, arr):
+            self.mode, self._arr = mode, arr
+
+        @staticmethod
+        def open(fp):
+            return _OPEN_RESULT
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            # palette 2x2 -> deterministic RGB expansion
+            rgb = np.stack([self._arr.astype(np.uint8)] * 3, axis=-1)
+            return _ModeImage("RGB", rgb)
+
+        def __array__(self, dtype=None, copy=None):
+            return (self._arr.astype(dtype) if dtype is not None
+                    else self._arr)
+
+    monkeypatch.setattr(mm, "_PIL_Image", _ModeImage)
+    monkeypatch.setattr(mm, "_HAVE_PIL", True)
+
+    global _OPEN_RESULT
+    # float mode: refused loudly
+    _OPEN_RESULT = _ModeImage("F", np.ones((2, 2), np.float32) * 4000.5)
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload(b"NOTMMF1" + b"\x00" * 16)
+    # 32-bit integer mode: refused loudly
+    _OPEN_RESULT = _ModeImage("I", np.full((2, 2), 70000, np.int32))
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload(b"NOTMMF1" + b"\x00" * 16)
+    # palette mode: converted, not passed through as raw indices
+    pal = np.array([[1, 2], [3, 4]], np.uint8)
+    _OPEN_RESULT = _ModeImage("P", pal)
+    kind, w, h, ch, samples = mm.decode_payload(b"NOTMMF1" + b"\x00" * 16)
+    assert (kind, w, h, ch) == ("image", 2, 2, 3)
+    np.testing.assert_array_equal(
+        samples.reshape(2, 2, 3), np.stack([pal] * 3, axis=-1))

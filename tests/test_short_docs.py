@@ -119,3 +119,36 @@ def test_line_repetition_stats_word_mode(spark):
     r = textstats.line_repetition_stats(docs, sep=" ").collect()[0]
     assert (r["n_lines"], r["dup_line_instances"]) == (4, 2)
     assert (r["n_line_chars"], r["dup_line_chars"]) == (15, 8)
+
+
+def test_line_repetition_stats_literal_metachar_sep(spark):
+    """sep is matched literally (\\Q-quoted), not as a Java regex: "."
+    must split on the DOT, not on every character, and "|" on the PIPE,
+    not on the empty alternation — the DuckDB oracle's string_split
+    semantics."""
+    docs = spark.createDataFrame(
+        [(1, "ab.cd.ab"), (2, "x|x|y")], "doc_id long, text string")
+    dot = {r["doc_id"]: r.asDict()
+           for r in textstats.line_repetition_stats(docs, sep=".").collect()}
+    assert dot[1] == {"doc_id": 1, "n_lines": 3, "dup_line_instances": 1,
+                      "n_line_chars": 6, "dup_line_chars": 2}
+    pipe = textstats.line_repetition_stats(docs, sep="|").collect()
+    r2 = next(r for r in pipe if r["doc_id"] == 2)
+    assert (r2["n_lines"], r2["dup_line_instances"]) == (3, 1)
+
+
+def test_line_repetition_stats_null_text(spark):
+    """NULL text yields NULL stats (not size(NULL) = -1 leaking in as a
+    line count)."""
+    import pandas as pd
+
+    rows = pd.DataFrame([{"doc_id": 1, "text": None},
+                         {"doc_id": 2, "text": "a\na"}])
+    rows["text"] = rows["text"].astype(object)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in textstats.line_repetition_stats(docs).collect()}
+    assert got[1] == {"doc_id": 1, "n_lines": None,
+                      "dup_line_instances": None, "n_line_chars": None,
+                      "dup_line_chars": None}
+    assert got[2]["dup_line_instances"] == 1

@@ -127,6 +127,10 @@ def main():
         SparkSession.builder.master(args.master)
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.driver.memory", "8g")
+        # session.get_spark pins UTC; the CLI pre-flight must match or
+        # timestamp-rendering queries (warc_ingest_index's date_format)
+        # go red on any non-UTC host while the real driver stays green
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
