@@ -12,11 +12,20 @@ word-suffixed = globally unique), split round-robin by doc_id into
 stream exercises real cross-batch state, not one big batch.
 
 Prints one JSON line {wall_s, docs, n_match_rows, n_pairs,
-fingerprint, docs_per_sec, master, batches}. The fingerprint is the
-bit_xor of xxhash64 over the DISTINCT (matched_doc_id, doc_id) pair
-set — by the batch-split-invariance property (tests/
-test_minhash_stream.py) it must be identical across parallelism
-levels AND across --batches splits for a scaling pair to be valid.
+fingerprint, fingerprint_ordered, docs_per_sec, master, batches}.
+``fingerprint`` (the scaling-pair validity check) is the bit_xor of
+xxhash64 over the DISTINCT ORIENTATION-NORMALIZED pair set —
+(least(matched,doc), greatest(matched,doc)) — so it is identical
+across parallelism levels and across ANY --batches split.
+``fingerprint_ordered`` hashes the raw (matched_doc_id, doc_id)
+orientation; which member arrived first depends on the batch split,
+so it is split-invariant ONLY for doc_id-monotone splits (--batches
+dividing the 1,000,000 replica-id stride: 2, 4, 8, ...) — kept for
+comparability with the round-4 record (5235891765343930830 at the
+30k-doc protocol: ``--sf-dir /root/testdata/sf0.001 --mult 60
+--batches 3``, recovered by fingerprint match in round 5; note
+batches=3 is NOT id-monotone, so that ordered value is specific to
+that split).
 
 Cost model this probe measures: applyInPandasWithState invokes the
 Python worker once per KEY per microbatch — with ~n_bands keys per
@@ -46,6 +55,9 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=12)
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--coarse", type=int, default=None,
+                    help="state-key coarsening groups (default: the "
+                         "operator default; 0 = exact per-bucket keys)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -89,10 +101,14 @@ def main() -> None:
                            os.path.join(flat, f"b{b}.parquet"))
 
     t0 = time.monotonic()
+    kw = {}
+    if args.coarse is not None:
+        kw["coarse_buckets"] = args.coarse or None
     stream = minhash_stream.stream_near_dup(
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1).parquet(flat),
         hash="xxhash64",
+        **kw,
     )
     q = (stream.writeStream.format("memory").queryName("st9_bench")
          .outputMode("update").trigger(availableNow=True).start())
@@ -100,10 +116,17 @@ def main() -> None:
     out = spark.table("st9_bench")
     pairs = (out.filter(F.col("matched_doc_id").isNotNull())
              .select("matched_doc_id", "doc_id").distinct())
+    norm = pairs.select(
+        F.least("matched_doc_id", "doc_id").alias("lo"),
+        F.greatest("matched_doc_id", "doc_id").alias("hi"),
+    ).distinct()
     agg = pairs.agg(
         F.count("*").alias("n_pairs"),
         F.coalesce(F.bit_xor(F.xxhash64("matched_doc_id", "doc_id")),
-                   F.lit(0)).alias("fp"),
+                   F.lit(0)).alias("fp_ordered"),
+    ).collect()[0]
+    agg_n = norm.agg(
+        F.coalesce(F.bit_xor(F.xxhash64("lo", "hi")), F.lit(0)).alias("fp"),
     ).collect()[0]
     n_match_rows = out.filter(F.col("matched_doc_id").isNotNull()).count()
     wall = round(time.monotonic() - t0, 2)
@@ -115,9 +138,11 @@ def main() -> None:
         "batches": args.batches,
         "n_match_rows": int(n_match_rows),
         "n_pairs": int(agg["n_pairs"]),
-        "fingerprint": int(agg["fp"]),
+        "fingerprint": int(agg_n["fp"]),
+        "fingerprint_ordered": int(agg["fp_ordered"]),
         "docs_per_sec": round(n_docs / wall, 1),
         "master": spark.sparkContext.master,
+        "coarse": args.coarse,
     }))
     spark.stop()
     shutil.rmtree(src, ignore_errors=True)

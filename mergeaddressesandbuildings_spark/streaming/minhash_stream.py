@@ -27,7 +27,12 @@ the SAME batch, so the stream's final distinct (matched_doc_id,
 doc_id) set equals the batch LSH candidate set over the full corpus —
 independent of how the corpus was split into microbatches (asserted in
 tests/test_minhash_stream.py, oracle-paired in the driver registry as
-``doc_stream_near_dup``).
+``doc_stream_near_dup``). Caveat on ORIENTATION: which member of a
+pair is ``matched_doc_id`` (the earlier arrival) vs ``doc_id`` depends
+on the batch split — the ORDERED pair is split-invariant only for
+doc_id-monotone splits (every cluster member lands in ascending-id
+batch order). Comparisons across arbitrary splits must normalize first
+(least/greatest), as jobs/st9_bench.py's primary fingerprint does.
 
 State size: O(corpus) doc-id+signature entries spread over the band
 key space — the measured band-bucket skew profile (BENCH/BASELINE.md:
@@ -52,8 +57,11 @@ from mergeaddressesandbuildings_spark.operators import doc_dedupe
 _OUT = ("band_id INT, band_hash STRING, doc_id LONG, "
         "matched_doc_id LONG, n_equal_slots LONG, is_first BOOLEAN")
 _STATE = "doc_ids ARRAY<LONG>, sigs ARRAY<LONG>, n LONG"
+_STATE_COARSE = ("band_ids ARRAY<INT>, band_hashes ARRAY<STRING>, "
+                 "doc_ids ARRAY<LONG>, sigs ARRAY<LONG>, n LONG")
 
 MAX_BUCKET_STATE = 256  # loud cap — see module docstring
+COARSE_BUCKETS = 8192  # default state-key coarsening — see stream_near_dup
 
 
 def stream_near_dup(docs: DataFrame,
@@ -64,7 +72,8 @@ def stream_near_dup(docs: DataFrame,
                     hash: str = "xxhash64",
                     band_key: str = "hash",
                     ttl_minutes: int | None = None,
-                    max_bucket: int = MAX_BUCKET_STATE) -> DataFrame:
+                    max_bucket: int = MAX_BUCKET_STATE,
+                    coarse_buckets: int | None = COARSE_BUCKETS) -> DataFrame:
     """Stateful streaming near-dup over a document stream
     (``doc_id LONG, text STRING`` at minimum).
 
@@ -80,7 +89,29 @@ def stream_near_dup(docs: DataFrame,
     guarantee; raise it toward k to demand higher estimated Jaccard
     before pairing. ``hash``/``band_key`` choose the xxhash64 scale
     family or the sha256/string oracle family, exactly as in the batch
-    operator."""
+    operator.
+
+    ``coarse_buckets`` (default on): the stateful operator is keyed by
+    ``pmod(xxhash64(band_id, band_hash), coarse_buckets)`` instead of
+    the exact band bucket, and the exact per-bucket logic runs INSIDE
+    the Python function over the coarse group. applyInPandasWithState
+    pays one Python dispatch per KEY per microbatch; with exact keying
+    and the measured ~1.06 mean bucket size that is ~n_bands
+    dispatches per doc — the measured r4 throughput floor (208-335
+    docs/s at 30k docs, BENCH/BASELINE.md). Coarse keying caps
+    dispatches at min(coarse_buckets, batch band rows) per microbatch —
+    measured 2.2x docs/s at local[4] / 1.4x at local[16] on the 60k-doc
+    interleaved series (up to 3.4x in matched windows at the r4 30k
+    protocol; the residual at high core counts is per-doc Python work +
+    state serde, which coarsening does not touch) — while the emitted
+    rows, pair set, is_first semantics and per-bucket max_bucket cap
+    are IDENTICAL — buckets never mix, they are separated again inside
+    the group. Trade, documented not hidden: a touched coarse key
+    deserializes its whole group state (~corpus·n_bands/coarse_buckets
+    entries), so for very large corpora with tiny deltas raise
+    coarse_buckets (or pass None for exact keying) to keep per-key
+    state cache-sized; TTL expiry also coarsens to the group.
+    ``coarse_buckets=None`` restores exact per-bucket keying."""
     if min_equal_slots is None:
         min_equal_slots = k // n_bands
     rows_per_band = k // n_bands
@@ -167,6 +198,109 @@ def stream_near_dup(docs: DataFrame,
             "is_first": out_first,
         })
 
+    def match_coarse(key: tuple, pdfs: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        # same arrival-order contract as exact keying: within a batch,
+        # ascending doc_id; state members are strictly older
+        batch = batch.sort_values("doc_id", kind="mergesort")
+        if state.exists:
+            s_bids, s_bhs, s_docs, s_flat, n_seen = state.get
+            mem_bid = [int(x) for x in s_bids]
+            mem_bh = [str(x) for x in s_bhs]
+            mem_doc = [int(x) for x in s_docs]
+            sig_mat = np.asarray(s_flat, dtype=np.int64).reshape(-1, k)
+            mem_sig = [sig_mat[i] for i in range(sig_mat.shape[0])]
+        else:
+            mem_bid, mem_bh, mem_doc, mem_sig, n_seen = [], [], [], [], 0
+        # exact (band_id, band_hash) buckets, re-separated inside the
+        # coarse group — member lists are insertion-ordered, so state
+        # order == arrival order exactly as with per-bucket keying
+        buckets: dict[tuple, list[int]] = {}
+        for i, (bid, bh) in enumerate(zip(mem_bid, mem_bh)):
+            buckets.setdefault((bid, bh), []).append(i)
+
+        out_bid: list[int] = []
+        out_bh: list[str] = []
+        out_doc: list[int] = []
+        out_match: list[int | None] = []
+        out_eq: list[int] = []
+        out_first: list[bool] = []
+        for doc_id, sig_arr, bid, bh in zip(
+                batch["doc_id"], batch["sig"],
+                batch["band_id"], batch["band_hash"]):
+            kb = (int(bid), str(bh))
+            idxs = buckets.setdefault(kb, [])
+            s = np.asarray(list(sig_arr), dtype=np.int64)
+            matched = False
+            if idxs:
+                stored = np.stack([mem_sig[i] for i in idxs])
+                eq = (stored == s).sum(axis=1)
+                for j in np.flatnonzero(eq >= min_equal_slots):
+                    out_bid.append(kb[0])
+                    out_bh.append(kb[1])
+                    out_doc.append(int(doc_id))
+                    out_match.append(mem_doc[idxs[j]])
+                    out_eq.append(int(eq[j]))
+                    out_first.append(False)
+                    matched = True
+            if not matched:
+                out_bid.append(kb[0])
+                out_bh.append(kb[1])
+                out_doc.append(int(doc_id))
+                out_match.append(None)
+                out_eq.append(0)
+                out_first.append(True)
+            if len(idxs) >= max_bucket:
+                raise ValueError(
+                    f"minhash_stream: bucket {kb} exceeds max_bucket="
+                    f"{max_bucket} members — a near-dup cluster this hot "
+                    "should be drained by exact dedup (ST6) upstream, or "
+                    "raise n_bands/max_bucket explicitly"
+                )
+            idxs.append(len(mem_doc))
+            mem_bid.append(kb[0])
+            mem_bh.append(kb[1])
+            mem_doc.append(int(doc_id))
+            mem_sig.append(s)
+
+        state.update((
+            mem_bid, mem_bh, mem_doc,
+            (np.concatenate(mem_sig).tolist() if mem_sig else []),
+            int(n_seen) + len(batch),
+        ))
+        if ttl_minutes:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        yield pd.DataFrame({
+            "band_id": pd.array(out_bid, dtype="int32"),
+            "band_hash": out_bh,
+            "doc_id": pd.array(out_doc, dtype="int64"),
+            "matched_doc_id": pd.array(out_match, dtype="Int64"),
+            "n_equal_slots": pd.array(out_eq, dtype="int64"),
+            "is_first": out_first,
+        })
+
+    if coarse_buckets:
+        coarse = banded.withColumn(
+            "coarse",
+            F.pmod(F.xxhash64("band_id", "band_hash"),
+                   F.lit(coarse_buckets)).cast("int"),
+        )
+        return (
+            coarse.groupBy("coarse")
+            .applyInPandasWithState(
+                match_coarse,
+                outputStructType=_OUT,
+                stateStructType=_STATE_COARSE,
+                outputMode="update",
+                timeoutConf=timeout,
+            )
+        )
     return (
         banded.groupBy("band_id", "band_hash")
         .applyInPandasWithState(

@@ -123,3 +123,26 @@ def test_bucket_overflow_is_loud(spark, tmp_path):
     _drop(spark, src, [(i, _DOCS[0][1]) for i in range(5)])  # 5 identical
     with pytest.raises(StreamingQueryException, match="max_bucket"):
         _run(spark, src, "st9_cap", max_bucket=2)
+
+
+@pytest.mark.parametrize("coarse", [None, 1, 8192])
+def test_coarse_keying_bit_identical(spark, tmp_path, coarse):
+    """Exact per-bucket keying, the degenerate 1-group coarse key, and
+    the default coarse keying must produce the IDENTICAL output row set
+    (not just the pair set): coarsening moves work between Python
+    dispatches, never changes what a bucket sees or in what order."""
+    rows = _DOCS + [_NEAR, _UNIQ,
+                    (103, "a completely different document about flink streaming state")]
+    src = str(tmp_path / f"src_{coarse}")
+    _drop(spark, src, rows[:4])
+    _drop(spark, src, rows[4:])
+    out = _run(spark, src, f"st9_coarse_{coarse}", coarse_buckets=coarse)
+    got = sorted(
+        tuple(r) for r in out.select(
+            "band_id", "band_hash", "doc_id", "matched_doc_id",
+            "n_equal_slots", "is_first").collect()
+    )
+    if not hasattr(test_coarse_keying_bit_identical, "_ref"):
+        test_coarse_keying_bit_identical._ref = got
+    assert got == test_coarse_keying_bit_identical._ref
+    assert len(got) > 0
