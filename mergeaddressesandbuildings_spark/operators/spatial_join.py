@@ -615,18 +615,32 @@ def pick_knn_winner(cands: DataFrame) -> DataFrame:
     )
 
 
-def pick_knn_topk(cands: DataFrame, k: int) -> DataFrame:
+def pick_knn_topk(cands: DataFrame, k: int,
+                  unique_pairs: bool = False) -> DataFrame:
     """Generic k-nearest (k ≥ 1) with the §8.4 deterministic tie order —
     the reference needs only k=1 (pick_knn_winner), but the candidate
     generation is k-agnostic (every building within the cutoff surfaces
     as a candidate), so top-k is just a wider window. Candidates can
     arrive duplicated (a cover spanning several neighbor cells), so
     they are deduped per (addr, building) first — row_number over
-    identical rows would otherwise consume ranks."""
-    dedup = cands.groupBy("addr_id", "building_id").agg(
+    identical rows would otherwise consume ranks.
+
+    ``unique_pairs=True`` is the caller's promise that each
+    (addr_id, building_id) appears at most once — true by construction
+    for ``flat_grid_candidates`` output (the probe side carries exactly
+    one grid cell, the neighbor copies live on the build side, so every
+    pair joins exactly once). The promise removes the dedup groupBy,
+    which on unique input is a no-op that still costs a full shuffle +
+    hash aggregate of the candidate mass BEFORE the window's own
+    shuffle — one exchange instead of two on the operator's dominant
+    data volume (measured on knn_topk_suppliers, BENCH/BASELINE.md r5).
+    Results are identical on unique input (asserted in
+    tests/test_spatial_join.py)."""
+    w = Window.partitionBy("addr_id").orderBy(F.asc("dist_m"), F.asc("building_id"))
+    dedup = cands if unique_pairs else cands.groupBy(
+        "addr_id", "building_id").agg(
         F.min("dist_m").alias("dist_m"), F.first("area_m2").alias("area_m2")
     )
-    w = Window.partitionBy("addr_id").orderBy(F.asc("dist_m"), F.asc("building_id"))
     return (
         dedup.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)

@@ -1639,7 +1639,7 @@ def knn_topk_suppliers(spark, sf_dir):
             F.lit(0.0).alias("area_m2"),
         )
     )
-    return sj.pick_knn_topk(cands, k=3).select(
+    return sj.pick_knn_topk(cands, k=3, unique_pairs=True).select(
         F.col("addr_id").alias("c_custkey"),
         F.col("building_id").alias("s_suppkey"),
         "knn_rank", "dist_m",

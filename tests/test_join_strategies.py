@@ -106,3 +106,42 @@ def test_knn_strategy_equivalence(spark, corpus):
         sj.knn_candidates(addresses, buildings, strategy="cogroup")))
     assert bc == pj == cg
     assert bc[1] > 0
+
+
+def test_knn_topk_unique_pairs_fast_path(spark):
+    """pick_knn_topk(unique_pairs=True) must equal the default (dedup)
+    path bit-exactly when candidates are unique per (addr, building) —
+    flat_grid_candidates output is unique by construction (the probe
+    side carries exactly one grid cell), which is what licenses the
+    fast path in knn_topk_suppliers. Also pins the construction fact
+    itself: no duplicate pairs out of flat_grid_candidates."""
+    a = spark.range(0, 400).select(
+        F.col("id").alias("c_custkey"),
+        (F.lit(34.8) + (F.col("id") % 41).cast("double") * 0.00009).alias("a_lat"),
+        (F.lit(-82.4) + (F.col("id") % 43).cast("double") * 0.00009).alias("a_lon"),
+    )
+    b = spark.range(0, 60).select(
+        F.col("id").alias("s_suppkey"),
+        (F.lit(34.8) + (F.col("id") % 13).cast("double") * 0.00027).alias("b_lat"),
+        (F.lit(-82.4) + (F.col("id") % 17).cast("double") * 0.00022).alias("b_lon"),
+    )
+    cands = sj.flat_grid_candidates(
+        a, b, cutoff_m=120.0, cos_lat0=0.821149209133704,
+        broadcast_b=True,
+    ).select(
+        F.col("c_custkey").alias("addr_id"),
+        F.col("s_suppkey").alias("building_id"),
+        "dist_m", F.lit(0.0).alias("area_m2"),
+    ).persist()
+    dup = (cands.groupBy("addr_id", "building_id").count()
+           .filter(F.col("count") > 1).count())
+    assert dup == 0  # the uniqueness promise flat_grid_candidates makes
+
+    key = ["addr_id", "building_id", "knn_rank"]
+    slow = sorted(tuple(r) for r in
+                  sj.pick_knn_topk(cands, k=3).select(*key).collect())
+    fast = sorted(tuple(r) for r in
+                  sj.pick_knn_topk(cands, k=3, unique_pairs=True)
+                  .select(*key).collect())
+    assert slow == fast and len(fast) > 0
+    cands.unpersist()
