@@ -194,8 +194,16 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS,
     banded = banded_signatures(sigs, n_bands, band_key)
     a = banded.alias("a")
     b = banded.alias("b")
+    # SHUFFLE_HASH pin: both sides are the SAME |docs|·n_bands-row
+    # table, so a broadcast build here means broadcasting every band
+    # key of the whole corpus — never right at any scale, yet it is
+    # exactly what the static planner picks when the explode+aggregate
+    # upstream leaves it with a default size estimate (observed at 1M
+    # docs: BroadcastHashJoin over the full banded table → driver OOM
+    # when the consumer runs the plan cold, i.e. without lsh_bench.py's
+    # persist+count giving AQE real stats).
     return (
-        a.join(b, ["band_id", "band_hash"])
+        a.join(b.hint("shuffle_hash"), ["band_id", "band_hash"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -244,17 +252,35 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float,
     # each new dedup invocation releases the previous invocation's
     # caches, and callers that interleave collections can release
     # explicitly via release_caches() (round-4 ADVICE leak item).
+    # LEFT SEMI, not inner: semantically identical (docs_in_play is
+    # distinct), but a semi-join can only ever hash/broadcast its RIGHT
+    # side — the in-play doc-id set — never the corpus shingle explode.
+    # As an inner join the planner was free to pick the corpus side as
+    # the build (observed at 1M docs: BuildLeft broadcast of the full
+    # doc-text scan → driver OOM).
     sh_c = _track_cache(
-        (sh.join(docs_in_play, "doc_id") if docs_in_play is not None
-         else sh).persist()
+        (sh.join(docs_in_play, "doc_id", "left_semi")
+         if docs_in_play is not None else sh).persist()
     )
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
+    # Both verify joins are pinned to SHUFFLE_HASH: every input here —
+    # the pair set, the pair×shingle explode, the shingle slice —
+    # scales with dup mass, so any AQE broadcast conversion is a
+    # latent driver OOM that only fires on dup-heavy corpora (observed
+    # at 1M docs/15k clusters: AQE broadcast the ~|pairs|·avg_shingles
+    # intermediate and blew the default driver heap; jobs/
+    # incr_dedup_bench.py --rebuild-only is the regression probe).
+    # Shuffle-hash keeps the build side per-partition-bounded — the
+    # only memory that grows is (dup shingle mass / shuffle
+    # partitions) — and avoids sort-merge's two sorts on the fat keys.
     common = (
         pairs
-        .join(sh_c.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh_c.withColumnRenamed("doc_id", "doc_a").hint("shuffle_hash"),
+              "doc_a")
         .join(
-            sh_c.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
+            .hint("shuffle_hash"),
             ["doc_b", "shingle"],
         )
         .groupBy("doc_a", "doc_b")
@@ -315,9 +341,16 @@ def minhash_lsh_dedupe(docs: DataFrame, n: int = 2, threshold: float = 0.6,
         return jaccard_verify(sh_c, cands, threshold, restrict=False)
     sh = shingles(docs, n)
     sigs = minhash_signatures(sh, hash=hash)
-    cands = lsh_candidate_pairs(
+    # Persist the candidate pairs (as the rowexpr branch already does):
+    # jaccard_verify consumes them three ways (in-play doc-a set,
+    # in-play doc-b set, the pair probe itself), and without the
+    # persist each consumer recomputes the ENTIRE shingle → signature →
+    # band-join pipeline from the raw scan — observed as ~6 full
+    # pipeline repetitions in the 1M-doc rebuild plan. The persist also
+    # gives AQE real stats for the verify-side joins.
+    cands = _track_cache(lsh_candidate_pairs(
         sigs, band_key="hash" if hash == "xxhash64" else "string"
-    )
+    ).persist())
     return jaccard_verify(sh, cands, threshold)
 
 
