@@ -24,6 +24,8 @@ in plans/queries.py; same operator shape, only the hash kernel swaps).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from mergeaddressesandbuildings_spark.functions import ids_sql
@@ -33,21 +35,51 @@ N_BANDS = 4  # 4 rows per band
 N_SIMHASH_BITS = 60  # sha256 hex-window hash width (ids_sql.sha256_hash60_expr)
 SIMHASH_CHUNK_BITS = 15  # 4 chunks; pigeonhole: hamming<=3 => one chunk equal
 
-# Persisted intermediates from the most recent dedup invocation.
-# Long-lived sessions (the full-registry oracle sweep runs the dedup
-# family several times) would otherwise accumulate storage-memory
-# pressure, one leaked cache per call.  Each pipeline entry point
-# release_caches()-es the previous invocation's handles before
-# registering its own; callers that interleave result consumption can
-# release explicitly once results are materialized.
+# Persisted intermediates from dedup invocations, kept only so
+# release_caches() can drop everything explicitly.  The OWNING release
+# path is per-invocation: _tie_caches_to() attaches a weakref
+# finalizer to the DataFrame an entry point returns, so each
+# invocation's caches are unpersisted exactly when the caller drops
+# its result — long-lived sessions (the full-registry oracle sweep
+# runs the dedup family several times) never accumulate storage, and
+# interleaved invocations can't release each other's still-live caches
+# (a pop-on-next-invocation scheme did, round-5 review finding).
 _CACHES: list[DataFrame] = []
 
 
 def _track_cache(df: DataFrame) -> DataFrame:
-    """Register a persisted DataFrame for release by the NEXT dedup
-    invocation (or an explicit release_caches())."""
+    """Register a persisted DataFrame for release when the invocation's
+    result is dropped (see _tie_caches_to) or an explicit
+    release_caches()."""
     _CACHES.append(df)
     return df
+
+
+def _tie_caches_to(result: DataFrame, start_idx: int) -> DataFrame:
+    """Unpersist the caches registered since ``start_idx`` when
+    ``result`` is garbage-collected.  Unpersisting is never a
+    correctness hazard (Spark recomputes), so the worst case — a
+    caller derives a frame from the result and drops the original
+    before consuming — only costs recompute.  Nested entry points tie
+    overlapping slices to the same returned object; unpersist is
+    idempotent, so the duplicate finalizers are harmless."""
+    caches = tuple(_CACHES[start_idx:])
+    if not caches:
+        return result
+
+    def _release() -> None:
+        for c in caches:
+            try:
+                c.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+            try:
+                _CACHES.remove(c)
+            except ValueError:
+                pass
+
+    weakref.finalize(result, _release)
+    return result
 
 
 def release_caches() -> None:
@@ -230,13 +262,14 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float,
     the join — the pair keys exist only post-join). The pair-anchored
     plan is hot-shingle-immune and produces the identical pair set
     (pairs with zero shared shingles drop out of the inner join in both
-    shapes; asserted equal in tests/test_lsh_bench_job.py's adversarial
-    template-cluster fixture).
+    shapes; asserted equal in tests/test_jaccard_verify_adversarial.py's
+    adversarial template-cluster fixture).
 
     Pass ``restrict=False`` when ``sh`` is already candidate-restricted
     (the rowexpr/incremental pipelines) to skip the redundant
     restriction join — the persist below still applies.
     """
+    cache_start = len(_CACHES)
     docs_in_play = pairs.select(F.col("doc_a").alias("doc_id")).union(
         pairs.select("doc_b")
     ).distinct()
@@ -248,10 +281,11 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float,
     # upstream — measured at 1M docs/local[16] as 3x the shingle pass,
     # ~60% of the whole dedup wall (jobs/lsh_bench.py). The slice is
     # candidate-bounded (dup docs, not the corpus), so caching it is
-    # safe at any scale. Cache lifetime: registered with _track_cache —
-    # each new dedup invocation releases the previous invocation's
-    # caches, and callers that interleave collections can release
-    # explicitly via release_caches() (round-4 ADVICE leak item).
+    # safe at any scale. Cache lifetime: registered with _track_cache
+    # and tied to the returned DataFrame (_tie_caches_to) — the cache
+    # drops when the caller drops the result, so interleaved
+    # invocations can't clobber each other and long-lived sessions
+    # don't leak (round-4 ADVICE leak item + round-5 review finding).
     # LEFT SEMI, not inner: semantically identical (docs_in_play is
     # distinct), but a semi-join can only ever hash/broadcast its RIGHT
     # side — the in-play doc-id set — never the corpus shingle explode.
@@ -295,8 +329,11 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float,
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
     )
-    return out.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
+    return _tie_caches_to(
+        out.filter(F.col("jaccard") >= threshold).select(
+            "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
+        ),
+        cache_start,
     )
 
 
@@ -325,7 +362,7 @@ def minhash_lsh_dedupe(docs: DataFrame, n: int = 2, threshold: float = 0.6,
       set, verify semi-join, restriction) would otherwise re-run the
       band join.
     """
-    release_caches()  # drop the previous invocation's persisted slices
+    cache_start = len(_CACHES)
     if sig_mode == "rowexpr":
         sigs = docs.select(
             "doc_id",
@@ -338,7 +375,10 @@ def minhash_lsh_dedupe(docs: DataFrame, n: int = 2, threshold: float = 0.6,
             cands.select("doc_b")
         ).distinct()
         sh_c = shingles(docs.join(in_play, "doc_id", "left_semi"), n)
-        return jaccard_verify(sh_c, cands, threshold, restrict=False)
+        return _tie_caches_to(
+            jaccard_verify(sh_c, cands, threshold, restrict=False),
+            cache_start,
+        )
     sh = shingles(docs, n)
     sigs = minhash_signatures(sh, hash=hash)
     # Persist the candidate pairs (as the rowexpr branch already does):
@@ -351,7 +391,7 @@ def minhash_lsh_dedupe(docs: DataFrame, n: int = 2, threshold: float = 0.6,
     cands = _track_cache(lsh_candidate_pairs(
         sigs, band_key="hash" if hash == "xxhash64" else "string"
     ).persist())
-    return jaccard_verify(sh, cands, threshold)
+    return _tie_caches_to(jaccard_verify(sh, cands, threshold), cache_start)
 
 
 def incremental_near_dup(delta_docs: DataFrame, corpus_docs: DataFrame,
@@ -386,7 +426,7 @@ def incremental_near_dup(delta_docs: DataFrame, corpus_docs: DataFrame,
     delta member — under the standing assumption that doc_ids are
     globally unique across corpus and delta.
     """
-    release_caches()  # drop the previous invocation's persisted slices
+    cache_start = len(_CACHES)
     band_key = "hash" if hash == "xxhash64" else "string"
     sh_delta = shingles(delta_docs, n)
     delta_sigs = minhash_signatures(sh_delta, k=N_MINHASH, hash=hash)
@@ -415,7 +455,9 @@ def incremental_near_dup(delta_docs: DataFrame, corpus_docs: DataFrame,
         delta_docs.select("doc_id", "text")
     )
     sh_c = shingles(texts.join(in_play, "doc_id", "left_semi"), n)
-    pairs = jaccard_verify(sh_c, cands, threshold, restrict=False)
+    pairs = _tie_caches_to(
+        jaccard_verify(sh_c, cands, threshold, restrict=False), cache_start
+    )
     return pairs, delta_sigs
 
 

@@ -67,13 +67,16 @@ def test_parked_means_driver_verified():
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
+            # A green row must carry a POSITIVE rows_match — every
+            # oracle-compared driver row sets it True (verified across
+            # all committed records); a bare {"err": null} row with no
+            # match fields is NOT evidence. schema/hash may be None
+            # only for legacy rows-only records, never False.
             ok = (
                 row.get("err") is None
-                and row.get("rows_match") in (True, None)
+                and row.get("rows_match") is True
                 and row.get("schema_match") in (True, None)
                 and row.get("hash_match") in (True, None)
-                # rows-only checks (no oracle SQL) still set rows_match
-                and row.get("rows_match") is not False
             )
             if ok:
                 green.add(name)
