@@ -1,0 +1,979 @@
+"""Pure-Python Apache Iceberg v2 table format layer (no runtime jars).
+
+BASELINE.json's north_rule and input_hint put the production corpus in
+an *Iceberg table* of Common-Crawl-style pages. This sandbox has no
+`iceberg-spark-runtime` jars, no pyiceberg and no Avro library
+(SURVEY.md §9), so until round 5 the repo only *abstracted* the format
+(`sources/catalog.py`) and reimplemented its manifest/stats-pruning/
+optimistic-commit ideas in a parquet-native sibling
+(`sources/snapshots.py`). This module closes the remaining gap at the
+FORMAT level: it reads and writes real Iceberg v2 table metadata —
+`vN.metadata.json`, Avro manifest lists, Avro manifests, positional and
+equality delete files — using `sources/avroio.py` (spec-faithful pure
+Python) and plans scans from that metadata alone.
+
+Everything follows the PUBLIC Iceberg Table Spec
+(https://iceberg.apache.org/spec/) — field ids, inheritance and delete
+semantics are cited inline. The READER is generic: manifests are
+decoded via their embedded Avro writer schema and fields looked up by
+name, so metadata written by the Java/Python Iceberg libraries decodes
+through the same code path as our fixtures (the mirror-image claim —
+real readers consuming our files — additionally needs parquet field-id
+annotations, which Spark's parquet writer cannot emit; per the spec we
+publish the standard `schema.name-mapping.default` table property so
+spec-compliant readers fall back to name mapping).
+
+Scale notes (the 100 TB contract):
+- scan planning is metadata-only: manifest-list → manifest → per-file
+  partition values + column bounds; file pruning (`plan_scan` with a
+  row_filter) happens before any Spark job, exactly like the JVM
+  reader;
+- merge-on-read delete application is expressed as Spark anti-joins
+  keyed on (file_path, row position) / equality columns, so the heavy
+  side streams; delete sides are broadcast here (delete files are
+  metadata-scale), with the bucketed-join fallback documented for
+  pathological delete volumes;
+- data files are never listed from the filesystem — only from
+  manifests — so planning cost is O(metadata), not O(directory).
+
+Supported surface (loud errors beyond it): format-version 2; identity
+partitioning (+ unpartitioned); parquet data files; avro codecs
+null/deflate; primitive column types long/int/double/float/string/
+boolean/binary/date/timestamptz. Other transforms (bucket/truncate/
+days) are read as opaque partition values but cannot be pruned on and
+raise only if pruning on them is requested.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import uuid as uuidlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from . import avroio
+from .snapshots import _footer_rows, _footer_stats
+
+POS_DELETE_FIELD_PATH = 2147483546  # spec: reserved field id for file_path
+POS_DELETE_FIELD_POS = 2147483545   # spec: reserved field id for pos
+
+
+class IcebergError(RuntimeError):
+    pass
+
+
+# ---------------------------------------------------------------------
+# type mapping + single-value serialization (spec Appendix D)
+# ---------------------------------------------------------------------
+
+_SPARK_TO_ICE = {
+    T.LongType: "long", T.IntegerType: "int", T.DoubleType: "double",
+    T.FloatType: "float", T.StringType: "string",
+    T.BooleanType: "boolean", T.BinaryType: "binary",
+    T.DateType: "date", T.TimestampType: "timestamptz",
+}
+
+_ICE_TO_SPARK = {
+    "long": T.LongType(), "int": T.IntegerType(),
+    "double": T.DoubleType(), "float": T.FloatType(),
+    "string": T.StringType(), "boolean": T.BooleanType(),
+    "binary": T.BinaryType(), "date": T.DateType(),
+    "timestamptz": T.TimestampType(), "timestamp": T.TimestampType(),
+}
+
+# iceberg type -> avro schema for partition struct fields
+_ICE_TO_AVRO = {
+    "long": "long", "int": "int", "double": "double", "float": "float",
+    "string": "string", "boolean": "boolean", "binary": "bytes",
+    "date": "int", "timestamptz": "long", "timestamp": "long",
+}
+
+
+def _spark_to_ice_type(dt: T.DataType) -> str:
+    for k, v in _SPARK_TO_ICE.items():
+        if isinstance(dt, k):
+            return v
+    raise IcebergError(
+        f"unsupported Spark type for the iceberg fixture writer: {dt} "
+        "(nested/decimal types are out of this layer's scope — the "
+        "production path uses the JVM Iceberg writer)")
+
+
+def serialize_bound(ice_type: str, v) -> bytes | None:
+    """Single-value serialization, Iceberg spec Appendix D."""
+    if v is None:
+        return None
+    if ice_type == "int" or ice_type == "date":
+        return struct.pack("<i", int(v))
+    if ice_type in ("long", "timestamptz", "timestamp"):
+        return struct.pack("<q", int(v))
+    if ice_type == "float":
+        return struct.pack("<f", float(v))
+    if ice_type == "double":
+        return struct.pack("<d", float(v))
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type == "binary":
+        return bytes(v)
+    return None  # unsupported type: record no bound (conservative)
+
+
+def deserialize_bound(ice_type: str, b: bytes | None):
+    if b is None:
+        return None
+    if ice_type == "int" or ice_type == "date":
+        return struct.unpack("<i", bytes(b))[0]
+    if ice_type in ("long", "timestamptz", "timestamp"):
+        return struct.unpack("<q", bytes(b))[0]
+    if ice_type == "float":
+        return struct.unpack("<f", bytes(b))[0]
+    if ice_type == "double":
+        return struct.unpack("<d", bytes(b))[0]
+    if ice_type == "string":
+        return bytes(b).decode("utf-8")
+    if ice_type == "boolean":
+        return bytes(b)[0] != 0
+    if ice_type == "binary":
+        return bytes(b)
+    return None
+
+
+# ---------------------------------------------------------------------
+# avro schemas for manifests (field ids per spec; decoder is generic,
+# these shapes are what WE write)
+# ---------------------------------------------------------------------
+
+def _manifest_list_schema() -> dict:
+    f = lambda name, typ, fid: {"name": name, "type": typ,  # noqa: E731
+                                "field-id": fid}
+    summary = {
+        "type": "record", "name": "r508", "fields": [
+            f("contains_null", "boolean", 509),
+            f("contains_nan", ["null", "boolean"], 518),
+            f("lower_bound", ["null", "bytes"], 510),
+            f("upper_bound", ["null", "bytes"], 511),
+        ]}
+    return {
+        "type": "record", "name": "manifest_file", "fields": [
+            f("manifest_path", "string", 500),
+            f("manifest_length", "long", 501),
+            f("partition_spec_id", "int", 502),
+            f("content", "int", 517),
+            f("sequence_number", "long", 515),
+            f("min_sequence_number", "long", 516),
+            f("added_snapshot_id", "long", 503),
+            f("added_files_count", "int", 504),
+            f("existing_files_count", "int", 505),
+            f("deleted_files_count", "int", 506),
+            f("added_rows_count", "long", 512),
+            f("existing_rows_count", "long", 513),
+            f("deleted_rows_count", "long", 514),
+            f("partitions",
+              ["null", {"type": "array", "items": summary,
+                        "element-id": 508}], 507),
+        ]}
+
+
+def _kv_array(name: str, kid: int, vid: int, fid: int) -> list:
+    """Iceberg writes int-keyed maps as arrays of key/value records
+    named k{kid}_v{vid} (logical-type map)."""
+    return ["null", {
+        "type": "array", "logicalType": "map", "items": {
+            "type": "record", "name": name, "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": "bytes", "field-id": vid},
+            ]}}]
+
+
+def _manifest_schema(partition_fields: list[dict]) -> dict:
+    """``partition_fields``: [{"name","field-id","ice_type"}] for the
+    identity partition columns (empty for unpartitioned)."""
+    pf = [{"name": p["name"],
+           "type": ["null", _ICE_TO_AVRO[p["ice_type"]]],
+           "field-id": p["field-id"]} for p in partition_fields]
+    data_file = {
+        "type": "record", "name": "r2", "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition",
+             "type": {"type": "record", "name": "r102", "fields": pf},
+             "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long",
+             "field-id": 104},
+            {"name": "lower_bounds",
+             "type": _kv_array("k126_v127", 126, 127, 125),
+             "field-id": 125},
+            {"name": "upper_bounds",
+             "type": _kv_array("k129_v130", 129, 130, 128),
+             "field-id": 128},
+            {"name": "split_offsets",
+             "type": ["null", {"type": "array", "items": "long",
+                               "element-id": 133}], "field-id": 132},
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int",
+                               "element-id": 136}], "field-id": 135},
+            {"name": "sort_order_id", "type": ["null", "int"],
+             "field-id": 140},
+        ]}
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ]}
+
+
+# ---------------------------------------------------------------------
+# metadata files
+# ---------------------------------------------------------------------
+
+def _meta_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "metadata")
+
+
+def _read_version_hint(table_dir: str) -> int:
+    hint = os.path.join(_meta_dir(table_dir), "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            return int(fh.read().strip())
+    # spec fallback: highest vN.metadata.json present
+    best = 0
+    if os.path.isdir(_meta_dir(table_dir)):
+        for name in os.listdir(_meta_dir(table_dir)):
+            if name.endswith(".metadata.json") and name.startswith("v"):
+                try:
+                    best = max(best, int(name[1:].split(".")[0]))
+                except ValueError:
+                    pass
+    return best
+
+
+def load_metadata(table_dir: str) -> dict:
+    v = _read_version_hint(table_dir)
+    if v <= 0:
+        raise IcebergError(f"{table_dir}: no iceberg table metadata")
+    path = os.path.join(_meta_dir(table_dir), f"v{v}.metadata.json")
+    with open(path) as fh:
+        meta = json.load(fh)
+    fv = meta.get("format-version")
+    if fv != 2:
+        raise IcebergError(
+            f"{table_dir}: format-version {fv} unsupported (v2 only)")
+    return meta
+
+
+def _current_schema(meta: dict) -> dict:
+    sid = meta["current-schema-id"]
+    for s in meta["schemas"]:
+        if s["schema-id"] == sid:
+            return s
+    raise IcebergError(f"current-schema-id {sid} not in schemas")
+
+
+def _field_by_id(schema: dict) -> dict[int, dict]:
+    return {f["id"]: f for f in schema["fields"]}
+
+
+def _field_by_name(schema: dict) -> dict[str, dict]:
+    return {f["name"]: f for f in schema["fields"]}
+
+
+def _spec_by_id(meta: dict, spec_id: int) -> dict:
+    for s in meta["partition-specs"]:
+        if s["spec-id"] == spec_id:
+            return s
+    raise IcebergError(f"partition spec {spec_id} not found")
+
+
+def spark_schema(meta: dict) -> T.StructType:
+    sch = _current_schema(meta)
+    fields = []
+    for f in sch["fields"]:
+        t = f["type"]
+        if not isinstance(t, str) or t not in _ICE_TO_SPARK:
+            raise IcebergError(
+                f"column {f['name']!r}: iceberg type {t!r} outside this "
+                "layer's primitive scope")
+        fields.append(T.StructField(f["name"], _ICE_TO_SPARK[t],
+                                    not f.get("required", False)))
+    return T.StructType(fields)
+
+
+def select_snapshot(meta: dict, snapshot_id: int | None = None,
+                    as_of_ms: int | None = None) -> dict | None:
+    snaps = meta.get("snapshots", [])
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise IcebergError(f"snapshot {snapshot_id} not found")
+    if as_of_ms is not None:
+        # snapshot-log is ordered by commit time (spec)
+        chosen = None
+        for entry in meta.get("snapshot-log", []):
+            if entry["timestamp-ms"] <= as_of_ms:
+                chosen = entry["snapshot-id"]
+        if chosen is None:
+            return None
+        return select_snapshot(meta, chosen)
+    cur = meta.get("current-snapshot-id", -1)
+    if cur is None or cur == -1:
+        return None
+    return select_snapshot(meta, cur)
+
+
+# ---------------------------------------------------------------------
+# scan planning (metadata-only)
+# ---------------------------------------------------------------------
+
+def _local(p: str) -> str:
+    """file:///x/y, file:/x/y, /x/y -> /x/y (paths are compared in this
+    normal form everywhere)."""
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _overlaps(op: str, val, lo, hi) -> bool:
+    """Can a file whose column spans [lo, hi] contain a row matching
+    ``col op val``? None bound => unknown => True (conservative)."""
+    if op == "=":
+        return (lo is None or lo <= val) and (hi is None or val <= hi)
+    if op == "<":
+        return lo is None or lo < val
+    if op == "<=":
+        return lo is None or lo <= val
+    if op == ">":
+        return hi is None or hi > val
+    if op == ">=":
+        return hi is None or hi >= val
+    raise IcebergError(f"unsupported filter op {op!r} (use {_OPS})")
+
+
+class ScanTask:
+    __slots__ = ("path", "partition", "seq", "record_count")
+
+    def __init__(self, path, partition, seq, record_count):
+        self.path = path
+        self.partition = partition  # {col_name: value} identity only
+        self.seq = seq
+        self.record_count = record_count
+
+
+class DeleteTask:
+    __slots__ = ("path", "seq", "kind", "eq_cols")
+
+    def __init__(self, path, seq, kind, eq_cols=None):
+        self.path = path
+        self.seq = seq
+        self.kind = kind  # "pos" | "eq"
+        self.eq_cols = eq_cols or []
+
+
+def plan_scan(meta: dict, snap: dict,
+              row_filter: list[tuple] | None = None
+              ) -> tuple[list[ScanTask], list[DeleteTask]]:
+    """Plan a snapshot scan from metadata alone.
+
+    ``row_filter``: AND-list of (column, op, literal) with op in
+    ``_OPS`` — used to prune data files via identity partition values
+    and per-file column bounds (manifest stats), exactly the pruning a
+    JVM Iceberg scan does before launching tasks. Conservative: a file
+    is kept unless its metadata PROVES no row can match.
+    """
+    sch = _current_schema(meta)
+    by_id = _field_by_id(sch)
+    by_name = _field_by_name(sch)
+    if row_filter:
+        for col, op, _ in row_filter:
+            if col not in by_name:
+                raise IcebergError(f"filter column {col!r} not in schema")
+            if op not in _OPS:
+                raise IcebergError(f"unsupported filter op {op!r}")
+    mlist_path = _local(snap["manifest-list"])
+    _, manifests = avroio.read_container(mlist_path)
+    data: list[ScanTask] = []
+    deletes: list[DeleteTask] = []
+    for mf in manifests:
+        spec = _spec_by_id(meta, mf.get("partition_spec_id", 0))
+        id_cols = {}  # partition struct field name -> (source col, type)
+        for pf in spec.get("fields", []):
+            src = by_id.get(pf["source-id"])
+            if pf.get("transform") == "identity" and src is not None:
+                id_cols[pf["name"]] = (src["name"], src["type"])
+        mseq = mf.get("sequence_number", 0)
+        _, entries = avroio.read_container(_local(mf["manifest_path"]))
+        for e in entries:
+            if e.get("status", 1) == 2:  # DELETED
+                continue
+            df_ = e["data_file"]
+            # v2 inheritance: null sequence_number on an ADDED entry
+            # inherits the manifest-list entry's sequence_number
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mseq
+            part_raw = df_.get("partition") or {}
+            part = {}
+            for k, v in part_raw.items():
+                if k in id_cols:
+                    cname, ctype = id_cols[k]
+                    if ctype in ("timestamptz", "timestamp") \
+                            and v is not None:
+                        # avro long micros -> seconds handled at attach
+                        part[cname] = v
+                    else:
+                        part[cname] = v
+            content = df_.get("content", 0)
+            path = _local(df_["file_path"])
+            fmt = str(df_.get("file_format", "parquet")).lower()
+            if fmt != "parquet":
+                raise IcebergError(
+                    f"data file format {fmt!r} unsupported (parquet only)")
+            if content == 0:
+                if row_filter and _pruned(df_, part, row_filter, by_name):
+                    continue
+                data.append(ScanTask(path, part, seq,
+                                     df_.get("record_count", -1)))
+            elif content == 1:
+                deletes.append(DeleteTask(path, seq, "pos"))
+            elif content == 2:
+                eq_ids = df_.get("equality_ids") or []
+                cols = []
+                for fid in eq_ids:
+                    if fid not in by_id:
+                        raise IcebergError(
+                            f"equality delete field id {fid} not in schema")
+                    cols.append(by_id[fid]["name"])
+                deletes.append(DeleteTask(path, seq, "eq", cols))
+            else:
+                raise IcebergError(f"unknown data_file content {content}")
+    return data, deletes
+
+
+def _bounds_map(df_entry: dict, key: str) -> dict[int, bytes]:
+    raw = df_entry.get(key) or []
+    if isinstance(raw, dict):  # map-typed variant
+        return {int(k): v for k, v in raw.items()}
+    return {e["key"]: e["value"] for e in raw}
+
+
+def _pruned(df_entry: dict, part: dict, row_filter: list[tuple],
+            by_name: dict) -> bool:
+    """True iff metadata PROVES no row in this file can match."""
+    lowers = _bounds_map(df_entry, "lower_bounds")
+    uppers = _bounds_map(df_entry, "upper_bounds")
+    for col, op, val in row_filter:
+        fld = by_name[col]
+        ice_t = fld["type"]
+        if col in part:
+            pv = part[col]
+            if pv is None:
+                continue  # null partition: only = could prune; stay safe
+            if not _overlaps(op, val, pv, pv):
+                return True
+            continue
+        lo = deserialize_bound(ice_t, lowers.get(fld["id"]))
+        hi = deserialize_bound(ice_t, uppers.get(fld["id"]))
+        if lo is None and hi is None:
+            continue
+        if not _overlaps(op, val, lo, hi):
+            return True
+    return False
+
+
+# ---------------------------------------------------------------------
+# reading
+# ---------------------------------------------------------------------
+
+def read_iceberg(spark: SparkSession, table_dir: str,
+                 snapshot_id: int | None = None,
+                 as_of_ms: int | None = None,
+                 row_filter: list[tuple] | None = None) -> DataFrame:
+    """Read an Iceberg v2 table as a DataFrame (merge-on-read applied).
+
+    The scan is planned purely from table metadata (`plan_scan`);
+    positional deletes are applied by anti-join on (normalized file
+    path, `_metadata.row_index`) restricted to data files with
+    data_seq <= delete_seq, equality deletes by null-safe anti-join on
+    the equality columns restricted to data_seq < delete_seq — both per
+    the spec's sequence-number rules.
+    """
+    meta = load_metadata(table_dir)
+    snap = select_snapshot(meta, snapshot_id, as_of_ms)
+    schema = spark_schema(meta)
+    cols = [f.name for f in schema.fields]
+    if snap is None:
+        return spark.createDataFrame([], schema)
+    data, deletes = plan_scan(meta, snap, row_filter)
+    if not data:
+        return spark.createDataFrame([], schema)
+
+    need_seq = bool(deletes)
+    pos_dels = [d for d in deletes if d.kind == "pos"]
+    eq_dels = [d for d in deletes if d.kind == "eq"]
+
+    # which schema columns are physically absent from the data files
+    # (identity-partitioned writes drop the source column into the
+    # path; the spec says readers fill it from partition metadata)
+    import pyarrow.parquet as pq
+    physical = set(pq.ParquetFile(data[0].path).schema_arrow.names)
+    attach_cols = [c for c in cols if c not in physical]
+    for t in data:
+        for c in attach_cols:
+            if c not in t.partition:
+                raise IcebergError(
+                    f"column {c!r} neither in data file nor partition "
+                    f"metadata of {t.path}")
+
+    by_name = _field_by_name(_current_schema(meta))
+
+    def _attach(df: DataFrame, task_group: list[ScanTask]) -> DataFrame:
+        t0 = task_group[0]
+        for c in attach_cols:
+            ice_t = by_name[c]["type"]
+            v = t0.partition.get(c)
+            if ice_t in ("timestamptz", "timestamp") and v is not None:
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.lit(int(v))))
+            else:
+                df = df.withColumn(
+                    c, F.lit(v).cast(_ICE_TO_SPARK[ice_t]))
+        return df
+
+    # group files so every row can carry its (partition values, seq)
+    groups: dict[tuple, list[ScanTask]] = {}
+    for t in data:
+        key = (t.seq if need_seq else 0,
+               tuple(sorted((c, t.partition.get(c))
+                            for c in attach_cols)))
+        groups.setdefault(key, []).append(t)
+
+    parts = []
+    for (seq, _pkey), tasks in sorted(groups.items(),
+                                      key=lambda kv: str(kv[0])):
+        df = spark.read.parquet(*[t.path for t in tasks])
+        if need_seq:
+            df = (df.withColumn("_ice_path", F.regexp_replace(
+                      F.col("_metadata.file_path"), "^file:/+", "/"))
+                    .withColumn("_ice_pos",
+                                F.col("_metadata.row_index"))
+                    .withColumn("_ice_seq", F.lit(seq)))
+        df = _attach(df, tasks)
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+
+    for dseq, paths in sorted(_by_seq(pos_dels).items()):
+        dels = (spark.read.parquet(*paths)
+                .select(F.regexp_replace("file_path", "^file:/+", "/")
+                        .alias("_del_path"),
+                        F.col("pos").alias("_del_pos")))
+        out = out.join(
+            F.broadcast(dels),
+            (out["_ice_path"] == dels["_del_path"])
+            & (out["_ice_pos"] == dels["_del_pos"])
+            & (out["_ice_seq"] <= F.lit(dseq)),
+            "left_anti")
+    for (dseq, eq_cols), paths in sorted(_eq_groups(eq_dels).items()):
+        dels = spark.read.parquet(*paths).select(
+            *[F.col(c).alias(f"_del_{c}") for c in eq_cols]).distinct()
+        cond = out["_ice_seq"] < F.lit(dseq)
+        for c in eq_cols:
+            cond = cond & out[c].eqNullSafe(dels[f"_del_{c}"])
+        out = out.join(F.broadcast(dels), cond, "left_anti")
+    return out.select(*cols)
+
+
+def _by_seq(tasks: list[DeleteTask]) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    for t in tasks:
+        out.setdefault(t.seq, []).append(t.path)
+    return out
+
+
+def _eq_groups(tasks: list[DeleteTask]) -> dict[tuple, list[str]]:
+    out: dict[tuple, list[str]] = {}
+    for t in tasks:
+        out.setdefault((t.seq, tuple(t.eq_cols)), []).append(t.path)
+    return out
+
+
+# ---------------------------------------------------------------------
+# writing (fixture-grade, spec-shaped)
+# ---------------------------------------------------------------------
+
+def _table_uuid(table_dir: str) -> str:
+    import hashlib
+    h = hashlib.sha256(os.path.abspath(table_dir).encode()).digest()
+    return str(uuidlib.UUID(bytes=h[:16]))
+
+
+def _ice_schema_json(df: DataFrame) -> dict:
+    fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        fields.append({"id": i, "name": f.name, "required": False,
+                       "type": _spark_to_ice_type(f.dataType)})
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def _name_mapping(schema: dict) -> list[dict]:
+    return [{"field-id": f["id"], "names": [f["name"]]}
+            for f in schema["fields"]]
+
+
+def _list_parquet(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for name in sorted(files):
+            if name.endswith(".parquet"):
+                out.append(os.path.join(dirpath, name))
+    return sorted(out)
+
+
+def _hive_partition(path: str, root: str,
+                    part_types: dict[str, str]) -> dict:
+    """Parse identity partition values from the hive path components
+    Spark's partitionBy wrote under ``root``."""
+    from urllib.parse import unquote
+    rel = os.path.relpath(os.path.dirname(path), root)
+    vals = {}
+    if rel in (".", ""):
+        return vals
+    for comp in rel.split(os.sep):
+        if "=" not in comp:
+            continue
+        k, v = comp.split("=", 1)
+        v = unquote(v)
+        if k not in part_types:
+            continue
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            vals[k] = None
+        elif part_types[k] in ("int", "long", "date"):
+            vals[k] = int(v)
+        elif part_types[k] == "double":
+            vals[k] = float(v)
+        elif part_types[k] == "boolean":
+            vals[k] = v == "true"
+        else:
+            vals[k] = v
+    return vals
+
+
+def _data_file_entry(path: str, partition: dict, schema: dict,
+                     content: int = 0,
+                     equality_ids: list[int] | None = None) -> dict:
+    stats = _footer_stats(path) if content == 0 else {}
+    by_name = _field_by_name(schema)
+    lowers, uppers = [], []
+    for col, (mn, mx) in sorted(stats.items()):
+        f = by_name.get(col)
+        if f is None:
+            continue
+        lo = serialize_bound(f["type"], mn)
+        hi = serialize_bound(f["type"], mx)
+        if lo is not None and hi is not None:
+            lowers.append({"key": f["id"], "value": lo})
+            uppers.append({"key": f["id"], "value": hi})
+    return {
+        "content": content,
+        "file_path": f"file://{os.path.abspath(path)}",
+        "file_format": "PARQUET",
+        "partition": partition,
+        "record_count": _footer_rows(path),
+        "file_size_in_bytes": os.path.getsize(path),
+        "lower_bounds": lowers or None,
+        "upper_bounds": uppers or None,
+        "split_offsets": None,
+        "equality_ids": equality_ids,
+        "sort_order_id": None,
+    }
+
+
+def _write_manifest(table_dir: str, sid: int, seq: int,
+                    entries: list[dict], partition_fields: list[dict],
+                    schema: dict, tag: str) -> dict:
+    schema_avro = _manifest_schema(partition_fields)
+    os.makedirs(_meta_dir(table_dir), exist_ok=True)
+    path = os.path.join(_meta_dir(table_dir), f"m-{sid}-{tag}.avro")
+    for e in entries:  # delete files carry an all-null partition struct
+        for p in partition_fields:
+            e["partition"].setdefault(p["name"], None)
+    recs = [{"status": 1, "snapshot_id": sid, "sequence_number": seq,
+             "file_sequence_number": seq, "data_file": e}
+            for e in entries]
+    meta = {
+        "schema": json.dumps(schema).encode(),
+        "partition-spec": json.dumps(
+            [{"name": p["name"], "transform": "identity",
+              "source-id": p["source-id"], "field-id": p["field-id"]}
+             for p in partition_fields]).encode(),
+        "partition-spec-id": b"0",
+        "format-version": b"2",
+        "content": b"deletes" if any(
+            e["content"] != 0 for e in entries) else b"data",
+    }
+    avroio.write_container(path, schema_avro, recs, meta=meta)
+    content = 1 if any(e["content"] != 0 for e in entries) else 0
+    rows = sum(e["record_count"] for e in entries)
+    return {
+        "manifest_path": f"file://{os.path.abspath(path)}",
+        "manifest_length": os.path.getsize(path),
+        "partition_spec_id": 0,
+        "content": content,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": sid,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,
+    }
+
+
+def _commit_snapshot(table_dir: str, manifest_entries: list[dict],
+                     operation: str,
+                     parent_meta: dict | None,
+                     schema: dict,
+                     partition_fields: list[dict]) -> int:
+    """Write manifest list + new vN.metadata.json + version-hint."""
+    md = _meta_dir(table_dir)
+    os.makedirs(md, exist_ok=True)
+    if parent_meta is not None:
+        sid = max((s["snapshot-id"]
+                   for s in parent_meta.get("snapshots", [])),
+                  default=0) + 1
+        seq = parent_meta.get("last-sequence-number", 0) + 1
+        snaps = list(parent_meta.get("snapshots", []))
+        slog = list(parent_meta.get("snapshot-log", []))
+        parent_id = parent_meta.get("current-snapshot-id")
+        v = _read_version_hint(table_dir) + 1
+    else:
+        sid, seq, snaps, slog, parent_id, v = 1, 1, [], [], None, 1
+
+    mlist = os.path.join(
+        md, f"snap-{sid}-1-{_table_uuid(table_dir)[:8]}.avro")
+    avroio.write_container(mlist, _manifest_list_schema(),
+                           manifest_entries)
+    now_ms = int(time.time() * 1000)
+    snap = {
+        "snapshot-id": sid,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": f"file://{os.path.abspath(mlist)}",
+        "summary": {"operation": operation},
+        "schema-id": schema.get("schema-id", 0),
+    }
+    if parent_id is not None:
+        snap["parent-snapshot-id"] = parent_id
+    snaps.append(snap)
+    slog.append({"timestamp-ms": now_ms, "snapshot-id": sid})
+    meta = {
+        "format-version": 2,
+        "table-uuid": _table_uuid(table_dir),
+        "location": f"file://{os.path.abspath(table_dir)}",
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": max((f["id"] for f in schema["fields"]),
+                              default=0),
+        "current-schema-id": schema.get("schema-id", 0),
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [{"name": p["name"], "transform": "identity",
+                        "source-id": p["source-id"],
+                        "field-id": p["field-id"]}
+                       for p in partition_fields]}],
+        "last-partition-id": max(
+            (p["field-id"] for p in partition_fields), default=999),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "schema.name-mapping.default":
+                json.dumps(_name_mapping(schema)),
+            "write.format.default": "parquet",
+        },
+        "current-snapshot-id": sid,
+        "refs": {"main": {"snapshot-id": sid, "type": "branch"}},
+        "snapshots": snaps,
+        "snapshot-log": slog,
+        "metadata-log": [],
+    }
+    with open(os.path.join(md, f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+    return sid
+
+
+def _existing_manifests(meta: dict) -> list[dict]:
+    snap = select_snapshot(meta)
+    if snap is None:
+        return []
+    _, manifests = avroio.read_container(_local(snap["manifest-list"]))
+    return manifests
+
+
+def _partition_fields(schema: dict, partition_by: list[str]) -> list:
+    by_name = _field_by_name(schema)
+    out = []
+    for i, col in enumerate(partition_by):
+        if col not in by_name:
+            raise IcebergError(f"partition column {col!r} not in schema")
+        out.append({"name": col, "source-id": by_name[col]["id"],
+                    "field-id": 1000 + i,
+                    "ice_type": by_name[col]["type"]})
+    return out
+
+
+def write_iceberg(df: DataFrame, table_dir: str,
+                  partition_by: list[str] | None = None) -> int:
+    """Create an Iceberg v2 table from ``df`` (overwrites any existing
+    table dir state by starting at v1). Returns the snapshot id."""
+    if os.path.exists(os.path.join(_meta_dir(table_dir),
+                                   "version-hint.text")):
+        raise IcebergError(
+            f"{table_dir} already an iceberg table — use append_iceberg")
+    return _append(df, table_dir, partition_by=partition_by,
+                   parent=None)
+
+
+def append_iceberg(df: DataFrame, table_dir: str) -> int:
+    """Append a snapshot to an existing table (schema must match by
+    name; partitioning is the table's)."""
+    meta = load_metadata(table_dir)
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    by_id = _field_by_id(_current_schema(meta))
+    partition_by = [by_id[f["source-id"]]["name"]
+                    for f in spec["fields"]]
+    return _append(df, table_dir, partition_by=partition_by or None,
+                   parent=meta)
+
+
+def _append(df: DataFrame, table_dir: str,
+            partition_by: list[str] | None, parent: dict | None) -> int:
+    if parent is None:
+        schema = _ice_schema_json(df)
+    else:
+        schema = _current_schema(parent)
+        df = df.select(*[f["name"] for f in schema["fields"]])
+    pfields = _partition_fields(schema, partition_by or [])
+    sid_next = max((s["snapshot-id"]
+                    for s in (parent or {}).get("snapshots", [])),
+                   default=0) + 1
+    seq_next = (parent or {}).get("last-sequence-number", 0) + 1
+    data_root = os.path.join(table_dir, "data", f"snap-{sid_next}")
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(data_root)
+    part_types = {p["name"]: p["ice_type"] for p in pfields}
+    entries = []
+    for path in _list_parquet(data_root):
+        part = _hive_partition(path, data_root, part_types)
+        entries.append(_data_file_entry(path, part, schema))
+    manifest = _write_manifest(table_dir, sid_next, seq_next, entries,
+                               pfields, schema, "data")
+    manifests = _existing_manifests(parent) if parent else []
+    return _commit_snapshot(table_dir, manifests + [manifest],
+                            "append", parent, schema, pfields)
+
+
+def delete_where(spark: SparkSession, table_dir: str,
+                 condition: str) -> int:
+    """Commit POSITIONAL deletes for all current rows matching a SQL
+    ``condition`` (the production flow: plan current files, locate
+    matching rows by `_metadata.row_index`, emit (file_path, pos)
+    delete files — merge-on-read, no data file rewritten)."""
+    meta = load_metadata(table_dir)
+    snap = select_snapshot(meta)
+    if snap is None:
+        raise IcebergError("cannot delete from an empty table")
+    data, _ = plan_scan(meta, snap)
+    dels_root = os.path.join(table_dir, "data",
+                             f"deletes-{snap['snapshot-id'] + 1}")
+    (spark.read.parquet(*[t.path for t in data])
+     .withColumn("_p", F.col("_metadata.file_path"))
+     .withColumn("_pos", F.col("_metadata.row_index"))
+     .filter(F.expr(condition))
+     .select(F.concat(F.lit("file://"),
+                      F.regexp_replace("_p", "^file:/+", "/"))
+             .alias("file_path"),
+             F.col("_pos").alias("pos"))
+     .coalesce(1)
+     .write.mode("errorifexists").parquet(dels_root))
+    schema = _current_schema(meta)
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    by_id = _field_by_id(schema)
+    pfields = _partition_fields(
+        schema, [by_id[f["source-id"]]["name"] for f in spec["fields"]])
+    seq_next = meta["last-sequence-number"] + 1
+    sid_next = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    entries = [_data_file_entry(p, {}, schema, content=1)
+               for p in _list_parquet(dels_root)]
+    manifest = _write_manifest(table_dir, sid_next, seq_next, entries,
+                               pfields, schema, "posdel")
+    return _commit_snapshot(table_dir,
+                            _existing_manifests(meta) + [manifest],
+                            "delete", meta, schema, pfields)
+
+
+def add_equality_deletes(spark: SparkSession, table_dir: str,
+                         values: DataFrame,
+                         eq_cols: list[str]) -> int:
+    """Commit EQUALITY deletes: any existing row (data_seq < delete
+    seq, per spec) whose ``eq_cols`` null-safely equal a row of
+    ``values`` is deleted. Rows appended AFTER this snapshot are NOT
+    affected — the sequence-number rule the tests pin."""
+    meta = load_metadata(table_dir)
+    schema = _current_schema(meta)
+    by_name = _field_by_name(schema)
+    for c in eq_cols:
+        if c not in by_name:
+            raise IcebergError(f"equality column {c!r} not in schema")
+    sid_next = max((s["snapshot-id"] for s in meta["snapshots"]),
+                   default=0) + 1
+    seq_next = meta["last-sequence-number"] + 1
+    dels_root = os.path.join(table_dir, "data", f"eqdel-{sid_next}")
+    (values.select(*eq_cols).distinct().coalesce(1)
+     .write.mode("errorifexists").parquet(dels_root))
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    by_id = _field_by_id(schema)
+    pfields = _partition_fields(
+        schema, [by_id[f["source-id"]]["name"] for f in spec["fields"]])
+    eq_ids = [by_name[c]["id"] for c in eq_cols]
+    entries = [_data_file_entry(p, {}, schema, content=2,
+                                equality_ids=eq_ids)
+               for p in _list_parquet(dels_root)]
+    manifest = _write_manifest(table_dir, sid_next, seq_next, entries,
+                               pfields, schema, "eqdel")
+    return _commit_snapshot(table_dir,
+                            _existing_manifests(meta) + [manifest],
+                            "delete", meta, schema, pfields)
+
+
+def snapshot_ids(table_dir: str) -> list[int]:
+    meta = load_metadata(table_dir)
+    return [s["snapshot-id"] for s in meta.get("snapshots", [])]
