@@ -3414,6 +3414,121 @@ def snapshot_merge_upsert(spark, sf_dir):
     return S.read_snapshot(spark, tdir)
 
 
+def _ice_docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        F.col("n_chars").cast("long").alias("n_chars"))
+
+
+@register(
+    "iceberg_time_travel",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def iceberg_time_travel(spark, sf_dir):
+    """REAL Iceberg v2 format time travel (sources/iceberg.py): the
+    even documents are committed as snapshot 1 and the odd ones
+    appended as snapshot 2 — through actual `vN.metadata.json` +
+    Avro manifest-list + Avro manifest files (sources/avroio.py pure-
+    Python object-container codec, spec-faithful field ids) — then the
+    table is read AS OF snapshot 1. The oracle is the even half, so a
+    hash match proves the format round-trip isolates snapshots: the
+    s2 parquet exists on disk but is invisible because scan planning
+    consults only the frozen manifest chain, never a directory
+    listing (the O(metadata) planning contract that holds at 100 TB)."""
+    import tempfile
+
+    from mergeaddressesandbuildings_spark.sources import iceberg as I
+
+    docs = _ice_docs(spark, sf_dir)
+    tdir = tempfile.mkdtemp(prefix="ice_tt_")
+    sid1 = I.write_iceberg(docs.filter(F.col("doc_id") % 2 == 0), tdir)
+    I.append_iceberg(docs.filter(F.col("doc_id") % 2 != 0), tdir)
+    return I.read_iceberg(spark, tdir, snapshot_id=sid1)
+
+
+@register(
+    "iceberg_mor_deletes",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 3 <> 0 AND source <> 'src7'
+    UNION ALL
+    SELECT CAST(doc_id + 10000000 AS BIGINT) AS doc_id,
+           'src7' AS source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def iceberg_mor_deletes(spark, sf_dir):
+    """Iceberg v2 merge-on-read deletes, both kinds composed
+    (sources/iceberg.py): commit the corpus as two appends, commit a
+    POSITIONAL delete file for doc_id%3==0 (spec-reserved field ids
+    2147483546/2147483545; rows located by `_metadata.row_index`, no
+    data file rewritten), commit an EQUALITY delete on source='src7',
+    then append fresh src7-sourced rows (the %3==0 set re-keyed
+    +1e7). The oracle recomputes the survivors relationally, so a
+    hash match proves the sequence-number rules end-to-end: the
+    equality delete (seq 4) erases only rows with data_seq < 4, so
+    the seq-5 append survives its own source being deleted. Deletes
+    apply as broadcast anti-joins — delete files are metadata-scale
+    while the data side streams, the right MoR shape at volume."""
+    import tempfile
+
+    from mergeaddressesandbuildings_spark.sources import iceberg as I
+
+    docs = _ice_docs(spark, sf_dir)
+    tdir = tempfile.mkdtemp(prefix="ice_mor_")
+    I.write_iceberg(docs.filter(F.col("doc_id") % 2 == 0), tdir)
+    I.append_iceberg(docs.filter(F.col("doc_id") % 2 != 0), tdir)
+    I.delete_where(spark, tdir, "doc_id % 3 = 0")
+    I.add_equality_deletes(
+        spark, tdir, spark.createDataFrame([("src7",)], ["source"]),
+        ["source"])
+    late = (docs.filter(F.col("doc_id") % 3 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+            .withColumn("source", F.lit("src7")))
+    I.append_iceberg(late, tdir)
+    return I.read_iceberg(spark, tdir)
+
+
+@register(
+    "iceberg_partition_prune",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE source = 'src3' AND doc_id >= 100
+    """,
+)
+def iceberg_partition_prune(spark, sf_dir):
+    """Iceberg identity-partitioned scan with metadata pruning
+    (sources/iceberg.py plan_scan): the corpus is written partitioned
+    by `source` (the partition column is physically ABSENT from the
+    parquet files and re-attached from manifest partition values, per
+    spec), then scanned with row_filter [source='src3', doc_id>=100].
+    Partition pruning drops the 19 other source partitions and the
+    per-file doc_id min/max bounds (spec Appendix D single-value
+    serialization) drop low-id files — all before any Spark job, so
+    planning cost is O(metadata). plan-level file-count assertions
+    live in tests/test_iceberg.py; the residual predicate re-applies
+    in the scan so pruning can only ever be an optimization."""
+    import tempfile
+
+    from mergeaddressesandbuildings_spark.sources import iceberg as I
+
+    docs = _ice_docs(spark, sf_dir)
+    tdir = tempfile.mkdtemp(prefix="ice_pp_")
+    I.write_iceberg(docs, tdir, partition_by=["source"])
+    out = I.read_iceberg(
+        spark, tdir,
+        row_filter=[("source", "=", "src3"), ("doc_id", ">=", 100)])
+    return out.filter(
+        (F.col("source") == "src3") & (F.col("doc_id") >= 100)).select(
+        "doc_id", "source", "n_chars")
+
+
 @register(
     "salted_order_join",
     """
@@ -4043,6 +4158,13 @@ _DRIVER_WINDOW_TAIL = [
     # tests/test_registry_window.py::test_parked_means_driver_verified)
     # and stays continuously oracle-checked by the in-suite sweep
     # (tests/test_registry_oracle.py).
+    # (r5 window repack: 3 more r4-green rows parked to make room for
+    # the three real-Iceberg-format queries — iceberg_time_travel,
+    # iceberg_mor_deletes, iceberg_partition_prune — which must land in
+    # the 50-entry driver window to earn their CORRECTNESS_r05 rows.)
+    "doc_length_histogram",  # driver-green r4
+    "doc_repetition_stats",  # driver-green r4
+    "event_value_trend",  # driver-green r4
     "pricing_summary",  # driver-green r4
     "segment_revenue",  # driver-green r4
     "order_year_matrix",  # driver-green r4

@@ -55,3 +55,27 @@ def test_catalog_parquet_roundtrip(spark, tmp_path):
 def test_catalog_unknown_format_raises(spark, tmp_path):
     with pytest.raises(Exception):
         catalog.read_table(spark, str(tmp_path / "nope"), fmt="no-such-format")
+
+
+def test_catalog_iceberg_path_routes_to_pure_python(spark, tmp_path):
+    """fmt='iceberg' + a path location must round-trip through
+    sources/iceberg.py (no runtime jars in the sandbox): create,
+    append, and snapshot-isolated read all via the catalog facade."""
+    from mergeaddressesandbuildings_spark.sources import iceberg as ice
+
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") % 3).alias("k"))
+    loc = str(tmp_path / "ice_t")
+    catalog.write_table(df, loc, fmt="iceberg")
+    catalog.write_table(
+        spark.range(50, 80).select(F.col("id"),
+                                   (F.col("id") % 3).alias("k")),
+        loc, fmt="iceberg", mode="append")
+    back = catalog.read_table(spark, loc, fmt="iceberg")
+    assert back.count() == 80
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(80))
+    # the facade wrote REAL v2 metadata: snapshots are addressable
+    assert ice.snapshot_ids(loc) == [1, 2]
+    # overwrite of an existing path-addressed table is refused loudly
+    with pytest.raises(ValueError, match="append"):
+        catalog.write_table(df, loc, fmt="iceberg", mode="overwrite")
