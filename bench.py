@@ -70,6 +70,11 @@ HEADLINE = [
     # floor" evidence; the registered doc_bpe_encode times the
     # <=256-merge JVM replace-chain mode instead
     "doc_bpe_encode_arrow",
+    # round-5: real Iceberg v2 format path end-to-end (pure-Python
+    # metadata layer): 2 appends + positional-delete commit +
+    # equality-delete commit + late append + MoR read — times the
+    # whole write/plan/anti-join cycle, not just the scan
+    "iceberg_mor_deletes",
     # spatial_eps_clusters is deliberately NOT benched: at sf0.1 the
     # fixed 251x241 synthetic grid saturates (mean degree ~28 -> one
     # giant component), which times percolation physics rather than
