@@ -30,9 +30,10 @@ Scale notes (the 100 TB contract):
   reader;
 - merge-on-read delete application is expressed as Spark anti-joins
   keyed on (file_path, row position) / equality columns, so the heavy
-  side streams; delete sides are broadcast here (delete files are
-  metadata-scale), with the bucketed-join fallback documented for
-  pathological delete volumes;
+  side streams; delete sides are broadcast while their manifest
+  record_count total stays under BROADCAST_DELETE_ROWS and pinned
+  SHUFFLE_HASH beyond it (or when a foreign writer omitted counts), so
+  no join build grows with total delete volume;
 - data files are never listed from the filesystem — only from
   manifests — so planning cost is O(metadata), not O(directory).
 
@@ -379,13 +380,14 @@ class ScanTask:
 
 
 class DeleteTask:
-    __slots__ = ("path", "seq", "kind", "eq_cols")
+    __slots__ = ("path", "seq", "kind", "eq_cols", "record_count")
 
-    def __init__(self, path, seq, kind, eq_cols=None):
+    def __init__(self, path, seq, kind, eq_cols=None, record_count=-1):
         self.path = path
         self.seq = seq
         self.kind = kind  # "pos" | "eq"
         self.eq_cols = eq_cols or []
+        self.record_count = record_count  # -1 = unknown (foreign writer)
 
 
 def plan_scan(meta: dict, snap: dict,
@@ -453,7 +455,9 @@ def plan_scan(meta: dict, snap: dict,
                 data.append(ScanTask(path, part, seq,
                                      df_.get("record_count", -1)))
             elif content == 1:
-                deletes.append(DeleteTask(path, seq, "pos"))
+                deletes.append(DeleteTask(
+                    path, seq, "pos",
+                    record_count=df_.get("record_count", -1)))
             elif content == 2:
                 eq_ids = df_.get("equality_ids") or []
                 cols = []
@@ -462,7 +466,9 @@ def plan_scan(meta: dict, snap: dict,
                         raise IcebergError(
                             f"equality delete field id {fid} not in schema")
                     cols.append(by_id[fid]["name"])
-                deletes.append(DeleteTask(path, seq, "eq", cols))
+                deletes.append(DeleteTask(
+                    path, seq, "eq", cols,
+                    record_count=df_.get("record_count", -1)))
             else:
                 raise IcebergError(f"unknown data_file content {content}")
     return data, deletes
@@ -582,39 +588,59 @@ def read_iceberg(spark: SparkSession, table_dir: str,
     for p in parts[1:]:
         out = out.unionByName(p)
 
-    for dseq, paths in sorted(_by_seq(pos_dels).items()):
-        dels = (spark.read.parquet(*paths)
+    for dseq, group in sorted(_by_seq(pos_dels).items()):
+        dels = (spark.read.parquet(*[t.path for t in group])
                 .select(F.regexp_replace("file_path", "^file:/+", "/")
                         .alias("_del_path"),
                         F.col("pos").alias("_del_pos")))
+        dels = _delete_side(dels, group)
         out = out.join(
-            F.broadcast(dels),
+            dels,
             (out["_ice_path"] == dels["_del_path"])
             & (out["_ice_pos"] == dels["_del_pos"])
             & (out["_ice_seq"] <= F.lit(dseq)),
             "left_anti")
-    for (dseq, eq_cols), paths in sorted(_eq_groups(eq_dels).items()):
-        dels = spark.read.parquet(*paths).select(
+    for (dseq, eq_cols), group in sorted(_eq_groups(eq_dels).items()):
+        dels = spark.read.parquet(*[t.path for t in group]).select(
             *[F.col(c).alias(f"_del_{c}") for c in eq_cols]).distinct()
+        dels = _delete_side(dels, group)
         cond = out["_ice_seq"] < F.lit(dseq)
         for c in eq_cols:
             cond = cond & out[c].eqNullSafe(dels[f"_del_{c}"])
-        out = out.join(F.broadcast(dels), cond, "left_anti")
+        out = out.join(dels, cond, "left_anti")
     return out.select(*cols)
 
 
-def _by_seq(tasks: list[DeleteTask]) -> dict[int, list[str]]:
-    out: dict[int, list[str]] = {}
+def _by_seq(tasks: list[DeleteTask]) -> dict[int, list[DeleteTask]]:
+    out: dict[int, list[DeleteTask]] = {}
     for t in tasks:
-        out.setdefault(t.seq, []).append(t.path)
+        out.setdefault(t.seq, []).append(t)
     return out
 
 
-def _eq_groups(tasks: list[DeleteTask]) -> dict[tuple, list[str]]:
-    out: dict[tuple, list[str]] = {}
+def _eq_groups(tasks: list[DeleteTask]) -> dict[tuple, list[DeleteTask]]:
+    out: dict[tuple, list[DeleteTask]] = {}
     for t in tasks:
-        out.setdefault((t.seq, tuple(t.eq_cols)), []).append(t.path)
+        out.setdefault((t.seq, tuple(t.eq_cols)), []).append(t)
     return out
+
+
+# Delete-apply join strategy: delete files are usually metadata-scale
+# (a positional tuple is ~two words), so the anti-join build side is
+# broadcast up to this many rows. Beyond it — or when a foreign writer
+# omitted record_count — the build side could rival an executor heap
+# at 10^12-row table scale, so the join is pinned SHUFFLE_HASH instead:
+# still a hash anti-join (the delete side is always the smaller
+# relation; sort-merge would pay an unneeded sort on the data side),
+# but partitioned, so no single build grows with total delete volume.
+BROADCAST_DELETE_ROWS = 4_000_000
+
+
+def _delete_side(dels: DataFrame, group: list[DeleteTask]) -> DataFrame:
+    n = sum(t.record_count for t in group)
+    if any(t.record_count < 0 for t in group) or n > BROADCAST_DELETE_ROWS:
+        return dels.hint("shuffle_hash")
+    return F.broadcast(dels)
 
 
 # ---------------------------------------------------------------------

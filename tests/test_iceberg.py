@@ -330,3 +330,44 @@ def test_version_hint_and_metadata_files_progress(spark, tmp_path):
     assert meta["last-sequence-number"] == 2
     snaps = meta["snapshots"]
     assert snaps[1]["parent-snapshot-id"] == snaps[0]["snapshot-id"]
+
+
+def test_large_delete_side_pins_shuffle_hash(spark, tmp_path, monkeypatch):
+    """Scale guard: when the manifests' record_count total for a delete
+    group exceeds BROADCAST_DELETE_ROWS (or a foreign writer omitted
+    counts), the MoR anti-joins must plan WITHOUT a broadcast build —
+    no join build may grow with total delete volume — and the result
+    must be bit-identical to the broadcast path."""
+    docs = _docs(spark)
+    t = str(tmp_path / "t")
+    ice.write_iceberg(docs, t)
+    ice.delete_where(spark, t, "doc_id % 5 = 0")
+    ice.add_equality_deletes(
+        spark, t, docs.filter("doc_id % 3 = 0").select("lang").limit(1),
+        ["lang"])
+    want = _rows(ice.read_iceberg(spark, t))
+    plan_b = ice.read_iceberg(spark, t)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b  # small deletes do broadcast
+
+    monkeypatch.setattr(ice, "BROADCAST_DELETE_ROWS", 0)
+    got_df = ice.read_iceberg(spark, t)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert _rows(got_df) == want
+
+
+def test_foreign_manifest_without_counts_avoids_broadcast(spark, tmp_path):
+    """A DeleteTask with record_count=-1 (foreign writer omitted the
+    optional stat) must be treated as too big to broadcast."""
+    from pyspark.sql import functions as F
+
+    dels = spark.range(3).select(F.lit("x").alias("lang"))
+    side = ice._delete_side(
+        dels, [ice.DeleteTask("p", 1, "eq", ["lang"], record_count=-1)])
+    plan = side.join(
+        spark.range(10).select(F.lit("x").alias("lang")),
+        "lang", "inner")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
