@@ -284,6 +284,21 @@ def _current_schema(meta: dict) -> dict:
     raise IcebergError(f"current-schema-id {sid} not in schemas")
 
 
+def _schema_for_id(meta: dict, schema_id: int) -> dict:
+    for s in meta["schemas"]:
+        if s["schema-id"] == schema_id:
+            return s
+    raise IcebergError(f"schema-id {schema_id} not in table schemas")
+
+
+def _snapshot_schema_ids(meta: dict) -> dict[int, int]:
+    """snapshot-id -> schema-id the snapshot was committed under
+    (spec: optional on old metadata; default to the current schema)."""
+    cur = meta["current-schema-id"]
+    return {s["snapshot-id"]: s.get("schema-id", cur)
+            for s in meta.get("snapshots", [])}
+
+
 def _field_by_id(schema: dict) -> dict[int, dict]:
     return {f["id"]: f for f in schema["fields"]}
 
@@ -299,8 +314,8 @@ def _spec_by_id(meta: dict, spec_id: int) -> dict:
     raise IcebergError(f"partition spec {spec_id} not found")
 
 
-def spark_schema(meta: dict) -> T.StructType:
-    sch = _current_schema(meta)
+def spark_schema(meta: dict, schema: dict | None = None) -> T.StructType:
+    sch = schema if schema is not None else _current_schema(meta)
     fields = []
     for f in sch["fields"]:
         t = f["type"]
@@ -370,28 +385,40 @@ def _overlaps(op: str, val, lo, hi) -> bool:
 
 
 class ScanTask:
-    __slots__ = ("path", "partition", "seq", "record_count")
+    __slots__ = ("path", "partition", "seq", "record_count",
+                 "schema_id")
 
-    def __init__(self, path, partition, seq, record_count):
+    def __init__(self, path, partition, seq, record_count,
+                 schema_id=0):
         self.path = path
         self.partition = partition  # {col_name: value} identity only
         self.seq = seq
         self.record_count = record_count
+        # schema under which the file was WRITTEN (spec: resolved via
+        # the manifest's added_snapshot_id -> snapshot.schema-id) —
+        # column resolution across schema evolution is by field id
+        # through this schema, never by name.
+        self.schema_id = schema_id
 
 
 class DeleteTask:
-    __slots__ = ("path", "seq", "kind", "eq_cols", "record_count")
+    __slots__ = ("path", "seq", "kind", "eq_cols", "record_count",
+                 "schema_id", "eq_ids")
 
-    def __init__(self, path, seq, kind, eq_cols=None, record_count=-1):
+    def __init__(self, path, seq, kind, eq_cols=None, record_count=-1,
+                 schema_id=0, eq_ids=None):
         self.path = path
         self.seq = seq
         self.kind = kind  # "pos" | "eq"
-        self.eq_cols = eq_cols or []
+        self.eq_cols = eq_cols or []  # names in the READ schema
         self.record_count = record_count  # -1 = unknown (foreign writer)
+        self.schema_id = schema_id  # write-time schema (for eq files)
+        self.eq_ids = eq_ids or []  # stable field ids behind eq_cols
 
 
 def plan_scan(meta: dict, snap: dict,
-              row_filter: list[tuple] | None = None
+              row_filter: list[tuple] | None = None,
+              read_schema: dict | None = None
               ) -> tuple[list[ScanTask], list[DeleteTask]]:
     """Plan a snapshot scan from metadata alone.
 
@@ -400,10 +427,18 @@ def plan_scan(meta: dict, snap: dict,
     and per-file column bounds (manifest stats), exactly the pruning a
     JVM Iceberg scan does before launching tasks. Conservative: a file
     is kept unless its metadata PROVES no row can match.
+
+    ``read_schema``: projection schema (defaults to current). Filter
+    columns resolve to field IDS under it; bounds comparisons then use
+    those stable ids, so pruning stays sound across renames, and bound
+    bytes deserialize under each file's WRITE-time type, so it stays
+    sound across int->long / float->double promotion too.
     """
-    sch = _current_schema(meta)
+    sch = read_schema if read_schema is not None \
+        else _current_schema(meta)
     by_id = _field_by_id(sch)
     by_name = _field_by_name(sch)
+    snap_schemas = _snapshot_schema_ids(meta)
     if row_filter:
         for col, op, _ in row_filter:
             if col not in by_name:
@@ -422,6 +457,12 @@ def plan_scan(meta: dict, snap: dict,
             if pf.get("transform") == "identity" and src is not None:
                 id_cols[pf["name"]] = (src["name"], src["type"])
         mseq = mf.get("sequence_number", 0)
+        wsid = snap_schemas.get(mf.get("added_snapshot_id"),
+                                sch["schema-id"])
+        w_types = {f["id"]: f["type"]
+                   for f in _schema_for_id(meta, wsid)["fields"]} \
+            if any(s["schema-id"] == wsid for s in meta["schemas"]) \
+            else {f["id"]: f["type"] for f in sch["fields"]}
         _, entries = avroio.read_container(_local(mf["manifest_path"]))
         for e in entries:
             if e.get("status", 1) == 2:  # DELETED
@@ -450,14 +491,17 @@ def plan_scan(meta: dict, snap: dict,
                 raise IcebergError(
                     f"data file format {fmt!r} unsupported (parquet only)")
             if content == 0:
-                if row_filter and _pruned(df_, part, row_filter, by_name):
+                if row_filter and _pruned(df_, part, row_filter,
+                                          by_name, w_types):
                     continue
                 data.append(ScanTask(path, part, seq,
-                                     df_.get("record_count", -1)))
+                                     df_.get("record_count", -1),
+                                     schema_id=wsid))
             elif content == 1:
                 deletes.append(DeleteTask(
                     path, seq, "pos",
-                    record_count=df_.get("record_count", -1)))
+                    record_count=df_.get("record_count", -1),
+                    schema_id=wsid))
             elif content == 2:
                 eq_ids = df_.get("equality_ids") or []
                 cols = []
@@ -468,7 +512,8 @@ def plan_scan(meta: dict, snap: dict,
                     cols.append(by_id[fid]["name"])
                 deletes.append(DeleteTask(
                     path, seq, "eq", cols,
-                    record_count=df_.get("record_count", -1)))
+                    record_count=df_.get("record_count", -1),
+                    schema_id=wsid, eq_ids=eq_ids))
             else:
                 raise IcebergError(f"unknown data_file content {content}")
     return data, deletes
@@ -482,13 +527,19 @@ def _bounds_map(df_entry: dict, key: str) -> dict[int, bytes]:
 
 
 def _pruned(df_entry: dict, part: dict, row_filter: list[tuple],
-            by_name: dict) -> bool:
-    """True iff metadata PROVES no row in this file can match."""
+            by_name: dict, write_types: dict[int, str] | None = None
+            ) -> bool:
+    """True iff metadata PROVES no row in this file can match.
+
+    ``write_types``: field id -> iceberg type under the file's
+    WRITE-time schema — bounds bytes were serialized under that type
+    (a 4-byte int bound must not be unpacked as long after an
+    int->long promotion; the Python-side comparison is unaffected)."""
     lowers = _bounds_map(df_entry, "lower_bounds")
     uppers = _bounds_map(df_entry, "upper_bounds")
     for col, op, val in row_filter:
         fld = by_name[col]
-        ice_t = fld["type"]
+        ice_t = (write_types or {}).get(fld["id"], fld["type"])
         if col in part:
             pv = part[col]
             if pv is None:
@@ -509,6 +560,75 @@ def _pruned(df_entry: dict, part: dict, row_filter: list[tuple],
 # reading
 # ---------------------------------------------------------------------
 
+def _project_tasks(spark: SparkSession, meta: dict, read_sch: dict,
+                   data: list[ScanTask], need_seq: bool) -> DataFrame:
+    """Union all scan tasks into one DataFrame projected under
+    ``read_sch``, resolving each file's physical columns BY FIELD ID
+    through its write-time schema (spec: rename = same id, new name;
+    add = new id, reads as null from older files; drop + re-add = new
+    id, so old values are never resurrected). Identity-partition
+    columns are re-attached from manifest partition values; int->long
+    and float->double promotions cast at scan. With ``need_seq`` each
+    row also carries (_ice_path, _ice_pos, _ice_seq) lineage for
+    merge-on-read delete application."""
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[ScanTask]] = {}
+    for t in data:
+        key = (t.schema_id, t.seq if need_seq else 0,
+               tuple(sorted((c, t.partition.get(c))
+                            for c in t.partition)))
+        groups.setdefault(key, []).append(t)
+
+    parts = []
+    for (wsid, seq, _pkey), tasks in sorted(
+            groups.items(), key=lambda kv: str(kv[0])):
+        w_by_id = _field_by_id(_schema_for_id(meta, wsid))
+        t0 = tasks[0]
+        physical = set(pq.ParquetFile(t0.path).schema_arrow.names)
+        df = spark.read.parquet(*[t.path for t in tasks])
+        if need_seq:
+            df = (df.withColumn("_ice_path", F.regexp_replace(
+                      F.col("_metadata.file_path"), "^file:/+", "/"))
+                    .withColumn("_ice_pos",
+                                F.col("_metadata.row_index"))
+                    .withColumn("_ice_seq", F.lit(seq)))
+        sel = []
+        for f in read_sch["fields"]:
+            tgt = _ICE_TO_SPARK[f["type"]]
+            wf = w_by_id.get(f["id"])
+            if wf is not None and wf["name"] in physical:
+                c = F.col(wf["name"])
+                if wf["type"] != f["type"]:
+                    c = c.cast(tgt)  # int->long / float->double
+                sel.append(c.alias(f["name"]))
+            elif f["name"] in t0.partition:
+                v = t0.partition.get(f["name"])
+                if f["type"] in ("timestamptz", "timestamp") \
+                        and v is not None:
+                    sel.append(F.timestamp_micros(
+                        F.lit(int(v))).alias(f["name"]))
+                else:
+                    sel.append(F.lit(v).cast(tgt).alias(f["name"]))
+            elif wf is None:
+                # column added to the table after these files were
+                # written: spec says it reads as null
+                sel.append(F.lit(None).cast(tgt).alias(f["name"]))
+            else:
+                raise IcebergError(
+                    f"column {f['name']!r} (field id {f['id']}) "
+                    f"neither in data file nor partition metadata of "
+                    f"{t0.path}")
+        if need_seq:
+            sel += [F.col("_ice_path"), F.col("_ice_pos"),
+                    F.col("_ice_seq")]
+        parts.append(df.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_iceberg(spark: SparkSession, table_dir: str,
                  snapshot_id: int | None = None,
                  as_of_ms: int | None = None,
@@ -524,11 +644,22 @@ def read_iceberg(spark: SparkSession, table_dir: str,
     """
     meta = load_metadata(table_dir)
     snap = select_snapshot(meta, snapshot_id, as_of_ms)
-    schema = spark_schema(meta)
+    # spec: a time-travel scan projects under the SNAPSHOT's schema
+    # (the names/columns the data had then); a current scan projects
+    # under the current schema. Column resolution into each data file
+    # is by field id through the file's write-time schema either way.
+    if snap is not None and (snapshot_id is not None
+                             or as_of_ms is not None):
+        read_sch = _schema_for_id(
+            meta, snap.get("schema-id", meta["current-schema-id"]))
+    else:
+        read_sch = _current_schema(meta)
+    schema = spark_schema(meta, read_sch)
     cols = [f.name for f in schema.fields]
     if snap is None:
         return spark.createDataFrame([], schema)
-    data, deletes = plan_scan(meta, snap, row_filter)
+    data, deletes = plan_scan(meta, snap, row_filter,
+                              read_schema=read_sch)
     if not data:
         return spark.createDataFrame([], schema)
 
@@ -536,57 +667,7 @@ def read_iceberg(spark: SparkSession, table_dir: str,
     pos_dels = [d for d in deletes if d.kind == "pos"]
     eq_dels = [d for d in deletes if d.kind == "eq"]
 
-    # which schema columns are physically absent from the data files
-    # (identity-partitioned writes drop the source column into the
-    # path; the spec says readers fill it from partition metadata)
-    import pyarrow.parquet as pq
-    physical = set(pq.ParquetFile(data[0].path).schema_arrow.names)
-    attach_cols = [c for c in cols if c not in physical]
-    for t in data:
-        for c in attach_cols:
-            if c not in t.partition:
-                raise IcebergError(
-                    f"column {c!r} neither in data file nor partition "
-                    f"metadata of {t.path}")
-
-    by_name = _field_by_name(_current_schema(meta))
-
-    def _attach(df: DataFrame, task_group: list[ScanTask]) -> DataFrame:
-        t0 = task_group[0]
-        for c in attach_cols:
-            ice_t = by_name[c]["type"]
-            v = t0.partition.get(c)
-            if ice_t in ("timestamptz", "timestamp") and v is not None:
-                df = df.withColumn(
-                    c, F.timestamp_micros(F.lit(int(v))))
-            else:
-                df = df.withColumn(
-                    c, F.lit(v).cast(_ICE_TO_SPARK[ice_t]))
-        return df
-
-    # group files so every row can carry its (partition values, seq)
-    groups: dict[tuple, list[ScanTask]] = {}
-    for t in data:
-        key = (t.seq if need_seq else 0,
-               tuple(sorted((c, t.partition.get(c))
-                            for c in attach_cols)))
-        groups.setdefault(key, []).append(t)
-
-    parts = []
-    for (seq, _pkey), tasks in sorted(groups.items(),
-                                      key=lambda kv: str(kv[0])):
-        df = spark.read.parquet(*[t.path for t in tasks])
-        if need_seq:
-            df = (df.withColumn("_ice_path", F.regexp_replace(
-                      F.col("_metadata.file_path"), "^file:/+", "/"))
-                    .withColumn("_ice_pos",
-                                F.col("_metadata.row_index"))
-                    .withColumn("_ice_seq", F.lit(seq)))
-        df = _attach(df, tasks)
-        parts.append(df)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    out = _project_tasks(spark, meta, read_sch, data, need_seq)
 
     for dseq, group in sorted(_by_seq(pos_dels).items()):
         dels = (spark.read.parquet(*[t.path for t in group])
@@ -601,8 +682,19 @@ def read_iceberg(spark: SparkSession, table_dir: str,
             & (out["_ice_seq"] <= F.lit(dseq)),
             "left_anti")
     for (dseq, eq_cols), group in sorted(_eq_groups(eq_dels).items()):
-        dels = spark.read.parquet(*[t.path for t in group]).select(
-            *[F.col(c).alias(f"_del_{c}") for c in eq_cols]).distinct()
+        # an equality-delete parquet carries WRITE-time column names;
+        # resolve each file's columns to the read schema by field id
+        sides = []
+        for t in group:
+            wsch = _field_by_id(_schema_for_id(meta, t.schema_id))
+            sides.append(
+                spark.read.parquet(t.path).select(
+                    *[F.col(wsch[fid]["name"]).alias(f"_del_{c}")
+                      for fid, c in zip(t.eq_ids, t.eq_cols)]))
+        dels = sides[0]
+        for s in sides[1:]:
+            dels = dels.unionByName(s)
+        dels = dels.distinct()
         dels = _delete_side(dels, group)
         cond = out["_ice_seq"] < F.lit(dseq)
         for c in eq_cols:
@@ -815,16 +907,22 @@ def _commit_snapshot(table_dir: str, manifest_entries: list[dict],
         snap["parent-snapshot-id"] = parent_id
     snaps.append(snap)
     slog.append({"timestamp-ms": now_ms, "snapshot-id": sid})
+    # carry the FULL schema history: files written under an older
+    # schema resolve their columns through it by field id forever
+    schemas = list((parent_meta or {}).get("schemas", []))
+    if not any(s["schema-id"] == schema.get("schema-id", 0)
+               for s in schemas):
+        schemas.append(schema)
     meta = {
         "format-version": 2,
         "table-uuid": _table_uuid(table_dir),
         "location": f"file://{os.path.abspath(table_dir)}",
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": max((f["id"] for f in schema["fields"]),
-                              default=0),
+        "last-column-id": max((f["id"] for s in schemas
+                               for f in s["fields"]), default=0),
         "current-schema-id": schema.get("schema-id", 0),
-        "schemas": [schema],
+        "schemas": schemas,
         "default-spec-id": 0,
         "partition-specs": [{
             "spec-id": 0,
@@ -904,7 +1002,9 @@ def _append(df: DataFrame, table_dir: str,
         schema = _ice_schema_json(df)
     else:
         schema = _current_schema(parent)
-        df = df.select(*[f["name"] for f in schema["fields"]])
+        df = df.select(*[
+            F.col(f["name"]).cast(_ICE_TO_SPARK[f["type"]])
+            .alias(f["name"]) for f in schema["fields"]])
     pfields = _partition_fields(schema, partition_by or [])
     sid_next = max((s["snapshot-id"]
                     for s in (parent or {}).get("snapshots", [])),
@@ -927,6 +1027,104 @@ def _append(df: DataFrame, table_dir: str,
                             "append", parent, schema, pfields)
 
 
+# promotions the spec allows for primitives (we support the two that
+# matter for this layer's type scope; decimal widening is out of scope)
+_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+
+def evolve_schema(table_dir: str,
+                  add: list[tuple[str, str]] | None = None,
+                  drop: list[str] | None = None,
+                  rename: dict[str, str] | None = None,
+                  retype: dict[str, str] | None = None) -> int:
+    """Metadata-only schema evolution (spec: Schema Evolution).
+
+    ``add``: [(name, iceberg_type)] — each gets a FRESH field id
+    (last-column-id + 1...), so re-adding a dropped name never
+    resurrects old values. ``drop``: column names to remove.
+    ``rename``: {old: new} — the field id is unchanged, so existing
+    data files keep resolving. ``retype``: {name: new_type}, only the
+    spec's safe promotions int->long / float->double.
+
+    No snapshot is committed and no data file is touched — a new
+    vN.metadata.json records the new current schema while keeping the
+    full schema history for per-file field-id resolution. Columns that
+    source the partition spec cannot be dropped, renamed or retyped
+    (this layer resolves identity-partition values by name at scan).
+    Returns the new schema-id.
+    """
+    meta = load_metadata(table_dir)
+    cur = _current_schema(meta)
+    by_name = _field_by_name(cur)
+    part_src = {f["source-id"] for sp in meta["partition-specs"]
+                for f in sp["fields"]}
+    protected = {f["name"] for f in cur["fields"]
+                 if f["id"] in part_src}
+
+    def _check(col: str, action: str) -> dict:
+        if col not in by_name:
+            raise IcebergError(f"{action}: column {col!r} not in schema")
+        if col in protected:
+            raise IcebergError(
+                f"{action}: {col!r} sources the partition spec — "
+                "evolve the spec first (out of this layer's scope)")
+        return by_name[col]
+
+    fields = [dict(f) for f in cur["fields"]]
+    for col in drop or []:
+        _check(col, "drop")
+        fields = [f for f in fields if f["name"] != col]
+    live = {f["name"] for f in fields}
+    for old, new in (rename or {}).items():
+        _check(old, "rename")
+        if new in live:
+            raise IcebergError(f"rename: {new!r} already in schema")
+        live.discard(old)
+        live.add(new)
+        next(f for f in fields if f["name"] == old)["name"] = new
+    for col, new_t in (retype or {}).items():
+        f = next((f for f in fields if f["name"] == col), None)
+        if f is None:
+            raise IcebergError(f"retype: column {col!r} not in schema")
+        if f["id"] in part_src:
+            raise IcebergError(
+                f"retype: {col!r} sources the partition spec")
+        if (f["type"], new_t) not in _PROMOTIONS:
+            raise IcebergError(
+                f"retype: {f['type']} -> {new_t} is not a safe "
+                f"promotion (allowed: {sorted(_PROMOTIONS)})")
+        f["type"] = new_t
+    next_id = meta["last-column-id"]
+    for name, ice_t in add or []:
+        if name in live:
+            raise IcebergError(f"add: column {name!r} already in schema")
+        if ice_t not in _ICE_TO_SPARK:
+            raise IcebergError(f"add: unsupported type {ice_t!r}")
+        next_id += 1
+        live.add(name)
+        fields.append({"id": next_id, "name": name, "required": False,
+                       "type": ice_t})
+    if not fields:
+        raise IcebergError("evolution would leave an empty schema")
+    new_sid = max(s["schema-id"] for s in meta["schemas"]) + 1
+    new_schema = {"type": "struct", "schema-id": new_sid,
+                  "fields": fields}
+    now_ms = int(time.time() * 1000)
+    meta["schemas"] = meta["schemas"] + [new_schema]
+    meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = next_id
+    meta["last-updated-ms"] = now_ms
+    meta["properties"]["schema.name-mapping.default"] = json.dumps(
+        _name_mapping(new_schema))
+    v = _read_version_hint(table_dir) + 1
+    md = _meta_dir(table_dir)
+    with open(os.path.join(md, f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+    return new_sid
+
+
 def delete_where(spark: SparkSession, table_dir: str,
                  condition: str) -> int:
     """Commit POSITIONAL deletes for all current rows matching a SQL
@@ -940,14 +1138,14 @@ def delete_where(spark: SparkSession, table_dir: str,
     data, _ = plan_scan(meta, snap)
     dels_root = os.path.join(table_dir, "data",
                              f"deletes-{snap['snapshot-id'] + 1}")
-    (spark.read.parquet(*[t.path for t in data])
-     .withColumn("_p", F.col("_metadata.file_path"))
-     .withColumn("_pos", F.col("_metadata.row_index"))
+    # evaluate the condition on the field-id-projected view so it
+    # names CURRENT columns even over files written pre-rename
+    (_project_tasks(spark, meta, _current_schema(meta), data,
+                    need_seq=True)
      .filter(F.expr(condition))
-     .select(F.concat(F.lit("file://"),
-                      F.regexp_replace("_p", "^file:/+", "/"))
+     .select(F.concat(F.lit("file://"), F.col("_ice_path"))
              .alias("file_path"),
-             F.col("_pos").alias("pos"))
+             F.col("_ice_pos").alias("pos"))
      .coalesce(1)
      .write.mode("errorifexists").parquet(dels_root))
     schema = _current_schema(meta)

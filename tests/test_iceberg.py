@@ -371,3 +371,128 @@ def test_foreign_manifest_without_counts_avoids_broadcast(spark, tmp_path):
         spark.range(10).select(F.lit("x").alias("lang")),
         "lang", "inner")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
+
+
+# ---------------------------------------------------------------------
+# schema evolution (spec: Schema Evolution — field-id resolution)
+# ---------------------------------------------------------------------
+
+def test_evolution_add_rename_promote(spark, tmp_path):
+    from pyspark.sql import types as T
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1.5, "a"), (2, 2.5, "b")],
+        schema="id int, v float, name string")
+    s1 = ice.write_iceberg(df, t)
+    ice.evolve_schema(t, add=[("score", "long")],
+                      rename={"name": "label"},
+                      retype={"id": "long", "v": "double"})
+    out = ice.read_iceberg(spark, t)
+    assert [f.name for f in out.schema.fields] == \
+        ["id", "v", "label", "score"]
+    assert out.schema["id"].dataType == T.LongType()
+    assert out.schema["v"].dataType == T.DoubleType()
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["label"] == "a" and rows[1]["score"] is None
+    assert rows[2]["v"] == 2.5
+    # appends under the evolved schema coexist with pre-evolution files
+    ice.append_iceberg(
+        spark.createDataFrame([(3, 3.5, "c", 30)],
+                              schema="id long, v double, "
+                                     "label string, score long"), t)
+    out2 = ice.read_iceberg(spark, t)
+    assert out2.count() == 3
+    assert {r["score"] for r in out2.collect()} == {None, 30}
+    # time travel projects the SNAPSHOT's schema (old names/types)
+    old = ice.read_iceberg(spark, t, snapshot_id=s1)
+    assert [f.name for f in old.schema.fields] == ["id", "v", "name"]
+    assert old.schema["id"].dataType == T.IntegerType()
+    assert _rows(old) == _rows(df)
+
+
+def test_evolution_drop_then_readd_never_resurrects(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ice.write_iceberg(
+        spark.createDataFrame([(1, "secret"), (2, "hidden")],
+                              schema="k long, tag string"), t)
+    ice.evolve_schema(t, drop=["tag"])
+    assert ice.read_iceberg(spark, t).columns == ["k"]
+    ice.evolve_schema(t, add=[("tag", "string")])  # fresh field id
+    ice.append_iceberg(
+        spark.createDataFrame([(3, "new")], schema="k long, tag string"),
+        t)
+    got = {r["k"]: r["tag"] for r in ice.read_iceberg(spark, t).collect()}
+    # spec: re-added column has a NEW id — old values must NOT reappear
+    assert got == {1: None, 2: None, 3: "new"}
+
+
+def test_evolution_partition_source_is_protected(spark, tmp_path):
+    docs = _docs(spark)
+    t = str(tmp_path / "t")
+    ice.write_iceberg(docs, t, partition_by=["lang"])
+    with pytest.raises(ice.IcebergError, match="partition spec"):
+        ice.evolve_schema(t, rename={"lang": "language"})
+    with pytest.raises(ice.IcebergError, match="partition spec"):
+        ice.evolve_schema(t, drop=["lang"])
+
+
+def test_evolution_rejects_unsafe_and_unknown(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ice.write_iceberg(
+        spark.createDataFrame([(1, "a")], schema="k long, s string"), t)
+    with pytest.raises(ice.IcebergError, match="not a safe promotion"):
+        ice.evolve_schema(t, retype={"k": "int"})  # narrowing
+    with pytest.raises(ice.IcebergError, match="not in schema"):
+        ice.evolve_schema(t, drop=["nope"])
+    with pytest.raises(ice.IcebergError, match="already in schema"):
+        ice.evolve_schema(t, add=[("s", "string")])
+    with pytest.raises(ice.IcebergError, match="already in schema"):
+        ice.evolve_schema(t, rename={"k": "s"})
+
+
+def test_bounds_pruning_survives_rename_and_promotion(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(i,) for i in range(100)],
+                               schema="id int")
+    ice.write_iceberg(df.filter("id < 50").coalesce(1), t)
+    ice.append_iceberg(df.filter("id >= 50").coalesce(1), t)
+    ice.evolve_schema(t, retype={"id": "long"})
+    ice.evolve_schema(t, rename={"id": "doc_key"})
+    meta = ice.load_metadata(t)
+    snap = ice.select_snapshot(meta)
+    allf, _ = ice.plan_scan(meta, snap)
+    # the filter names the NEW column; bound bytes were written as
+    # 4-byte ints — pruning must still drop the low file
+    kept, _ = ice.plan_scan(meta, snap,
+                            row_filter=[("doc_key", ">=", 50)])
+    assert len(allf) == 2 and len(kept) == 1
+    got = ice.read_iceberg(spark, t,
+                           row_filter=[("doc_key", ">=", 50)])
+    assert sorted(r["doc_key"] for r in got.collect()) == \
+        list(range(50, 100))
+
+
+def test_eq_delete_pre_rename_applies_post_rename(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ice.write_iceberg(
+        spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")],
+                              schema="k long, s string"), t)
+    ice.add_equality_deletes(
+        spark, t, spark.createDataFrame([("x",)], ["s"]), ["s"])
+    ice.evolve_schema(t, rename={"s": "tag"})
+    got = ice.read_iceberg(spark, t)
+    assert got.columns == ["k", "tag"]
+    # the delete file stores column "s"; field-id resolution still
+    # applies it to the renamed read schema
+    assert sorted(r["k"] for r in got.collect()) == [2]
+
+
+def test_delete_where_condition_on_renamed_column(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ice.write_iceberg(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                              schema="k long, old_v long"), t)
+    ice.evolve_schema(t, rename={"old_v": "value"})
+    ice.delete_where(spark, t, "value >= 20")
+    assert sorted(r["k"] for r in
+                  ice.read_iceberg(spark, t).collect()) == [1]
