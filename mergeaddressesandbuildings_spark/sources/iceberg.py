@@ -1201,3 +1201,185 @@ def add_equality_deletes(spark: SparkSession, table_dir: str,
 def snapshot_ids(table_dir: str) -> list[int]:
     meta = load_metadata(table_dir)
     return [s["snapshot-id"] for s in meta.get("snapshots", [])]
+
+
+# ---------------------------------------------------------------------
+# metadata tables (spec: Metadata Tables — snapshots/files/history/
+# manifests as queryable DataFrames; all metadata-scale, built on the
+# driver from the manifest chain, never from a directory listing)
+# ---------------------------------------------------------------------
+
+_META_TABLES = ("snapshots", "history", "manifests", "files")
+
+
+def metadata_table(spark: SparkSession, table_dir: str,
+                   kind: str) -> DataFrame:
+    """The standard Iceberg inspection tables (`table$snapshots` etc.)
+    as DataFrames. ``files`` reflects the CURRENT snapshot's scan plan
+    (data + delete files with per-file stats); the other three reflect
+    the whole table history."""
+    meta = load_metadata(table_dir)
+    if kind == "snapshots":
+        rows = [(s["snapshot-id"], s.get("parent-snapshot-id"),
+                 s["sequence-number"],
+                 s["timestamp-ms"], s["summary"]["operation"],
+                 s["manifest-list"], s.get("schema-id", 0))
+                for s in meta.get("snapshots", [])]
+        return spark.createDataFrame(
+            rows, "snapshot_id long, parent_id long, "
+                  "sequence_number long, committed_at_ms long, "
+                  "operation string, manifest_list string, "
+                  "schema_id int")
+    if kind == "history":
+        # ancestor chain of the current snapshot = is_current_ancestor
+        by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        anc = set()
+        cur = meta.get("current-snapshot-id")
+        while cur in by_id:
+            anc.add(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        rows = [(e["timestamp-ms"], e["snapshot-id"],
+                 e["snapshot-id"] in anc)
+                for e in meta.get("snapshot-log", [])]
+        return spark.createDataFrame(
+            rows, "made_current_at_ms long, snapshot_id long, "
+                  "is_current_ancestor boolean")
+    if kind == "manifests":
+        snap = select_snapshot(meta)
+        mfs = [] if snap is None else avroio.read_container(
+            _local(snap["manifest-list"]))[1]
+        rows = [(m["manifest_path"], m["manifest_length"],
+                 m["partition_spec_id"], m.get("content", 0),
+                 m.get("sequence_number", 0),
+                 m.get("added_snapshot_id"),
+                 m.get("added_files_count"),
+                 m.get("added_rows_count"))
+                for m in mfs]
+        return spark.createDataFrame(
+            rows, "path string, length long, partition_spec_id int, "
+                  "content int, sequence_number long, "
+                  "added_snapshot_id long, added_files_count int, "
+                  "added_rows_count long")
+    if kind == "files":
+        snap = select_snapshot(meta)
+        data, deletes = ([], []) if snap is None \
+            else plan_scan(meta, snap)
+        rows = [(0, t.path, "PARQUET", t.record_count,
+                 os.path.getsize(t.path), t.seq,
+                 {k: str(v) for k, v in t.partition.items()})
+                for t in data]
+        rows += [(1 if d.kind == "pos" else 2, d.path, "PARQUET",
+                  d.record_count, os.path.getsize(d.path), d.seq, {})
+                 for d in deletes]
+        return spark.createDataFrame(
+            rows, "content int, file_path string, file_format string, "
+                  "record_count long, file_size_in_bytes long, "
+                  "sequence_number long, partition map<string,string>")
+    raise IcebergError(
+        f"unknown metadata table {kind!r} (one of {_META_TABLES})")
+
+
+# ---------------------------------------------------------------------
+# table maintenance: compaction + snapshot expiry
+# ---------------------------------------------------------------------
+
+def compact_table(spark: SparkSession, table_dir: str) -> int:
+    """Rewrite the CURRENT table state into fresh data files and
+    commit it as a `replace` snapshot: merge-on-read deletes are
+    materialized away and the new snapshot's manifest list carries
+    ONLY the rewritten files (scan cost resets to O(live data)).
+    Prior snapshots keep their own manifest lists, so time travel
+    still sees pre-compaction states until `expire_snapshots`.
+    Returns the new snapshot id."""
+    meta = load_metadata(table_dir)
+    snap = select_snapshot(meta)
+    if snap is None:
+        raise IcebergError("cannot compact an empty table")
+    schema = _current_schema(meta)
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    by_id = _field_by_id(schema)
+    partition_by = [by_id[f["source-id"]]["name"]
+                    for f in spec["fields"]]
+    pfields = _partition_fields(schema, partition_by)
+    df = read_iceberg(spark, table_dir)
+    sid_next = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    seq_next = meta["last-sequence-number"] + 1
+    data_root = os.path.join(table_dir, "data", f"snap-{sid_next}")
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(data_root)
+    part_types = {p["name"]: p["ice_type"] for p in pfields}
+    entries = []
+    for path in _list_parquet(data_root):
+        part = _hive_partition(path, data_root, part_types)
+        entries.append(_data_file_entry(path, part, schema))
+    manifest = _write_manifest(table_dir, sid_next, seq_next, entries,
+                               pfields, schema, "compact")
+    return _commit_snapshot(table_dir, [manifest], "replace", meta,
+                            schema, pfields)
+
+
+def expire_snapshots(table_dir: str, keep_last: int | None = None,
+                     older_than_ms: int | None = None) -> dict:
+    """Drop expired snapshots from table metadata and delete every
+    manifest list, manifest and data/delete file no retained snapshot
+    references (the current snapshot is always retained). Returns
+    {"expired_snapshots", "deleted_files"} counts. After expiry, time
+    travel to an expired snapshot raises — the trade that bounds
+    metadata + storage growth on a rolling 100 TB table."""
+    if (keep_last is None) == (older_than_ms is None):
+        raise IcebergError(
+            "pass exactly one of keep_last / older_than_ms")
+    meta = load_metadata(table_dir)
+    snaps = meta.get("snapshots", [])
+    cur = meta.get("current-snapshot-id")
+    ordered = sorted(snaps, key=lambda s: s["timestamp-ms"])
+    if keep_last is not None:
+        if keep_last < 1:
+            raise IcebergError("keep_last must be >= 1")
+        keep = {s["snapshot-id"] for s in ordered[-keep_last:]}
+    else:
+        keep = {s["snapshot-id"] for s in ordered
+                if s["timestamp-ms"] >= older_than_ms}
+    keep.add(cur)
+    expired = [s for s in snaps if s["snapshot-id"] not in keep]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_files": 0}
+
+    def _referenced(snapshot_ids) -> set:
+        refs = set()
+        for s in snaps:
+            if s["snapshot-id"] not in snapshot_ids:
+                continue
+            mlist = _local(s["manifest-list"])
+            refs.add(mlist)
+            _, mfs = avroio.read_container(mlist)
+            for m in mfs:
+                mpath = _local(m["manifest_path"])
+                refs.add(mpath)
+                _, entries = avroio.read_container(mpath)
+                for e in entries:
+                    refs.add(_local(e["data_file"]["file_path"]))
+        return refs
+
+    keep_refs = _referenced(keep)
+    drop_refs = _referenced({s["snapshot-id"] for s in expired})
+    to_delete = sorted(drop_refs - keep_refs)
+    meta["snapshots"] = [s for s in snaps if s["snapshot-id"] in keep]
+    meta["snapshot-log"] = [e for e in meta.get("snapshot-log", [])
+                            if e["snapshot-id"] in keep]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    v = _read_version_hint(table_dir) + 1
+    md = _meta_dir(table_dir)
+    with open(os.path.join(md, f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+    deleted = 0
+    for p in to_delete:
+        if os.path.exists(p):
+            os.remove(p)
+            deleted += 1
+    return {"expired_snapshots": len(expired),
+            "deleted_files": deleted}

@@ -496,3 +496,104 @@ def test_delete_where_condition_on_renamed_column(spark, tmp_path):
     ice.delete_where(spark, t, "value >= 20")
     assert sorted(r["k"] for r in
                   ice.read_iceberg(spark, t).collect()) == [1]
+
+
+# ---------------------------------------------------------------------
+# metadata tables + maintenance (compaction, snapshot expiry)
+# ---------------------------------------------------------------------
+
+def test_metadata_tables(spark, tmp_path):
+    docs = _docs(spark)
+    t = str(tmp_path / "t")
+    s1 = ice.write_iceberg(docs.filter("doc_id % 2 = 0"), t)
+    s2 = ice.append_iceberg(docs.filter("doc_id % 2 = 1"), t)
+    ice.delete_where(spark, t, "doc_id % 7 = 0")
+
+    snaps = ice.metadata_table(spark, t, "snapshots").collect()
+    assert [r["snapshot_id"] for r in snaps] == [s1, s2, s2 + 1]
+    assert [r["operation"] for r in snaps] == \
+        ["append", "append", "delete"]
+    assert snaps[1]["parent_id"] == s1
+
+    hist = ice.metadata_table(spark, t, "history").collect()
+    assert len(hist) == 3
+    assert all(r["is_current_ancestor"] for r in hist)
+
+    mfs = ice.metadata_table(spark, t, "manifests")
+    assert mfs.count() == 3  # two data manifests + one delete manifest
+    assert mfs.filter("content = 1").count() == 1
+
+    files = ice.metadata_table(spark, t, "files")
+    n_data = files.filter("content = 0").count()
+    n_posdel = files.filter("content = 1").count()
+    assert n_data >= 2 and n_posdel == 1
+    total = files.filter("content = 0").groupBy().sum(
+        "record_count").collect()[0][0]
+    assert total == docs.count()
+
+    with pytest.raises(ice.IcebergError, match="unknown metadata"):
+        ice.metadata_table(spark, t, "partitions")
+
+
+def test_compaction_materializes_deletes(spark, tmp_path):
+    docs = _docs(spark)
+    t = str(tmp_path / "t")
+    ice.write_iceberg(docs, t, partition_by=["lang"])
+    ice.delete_where(spark, t, "doc_id % 3 = 0")
+    before = _rows(ice.read_iceberg(spark, t))
+    pre_sid = ice.select_snapshot(ice.load_metadata(t))["snapshot-id"]
+
+    sid = ice.compact_table(spark, t)
+    after = _rows(ice.read_iceberg(spark, t))
+    assert after == before  # bit-identical rows
+    meta = ice.load_metadata(t)
+    snap = ice.select_snapshot(meta)
+    assert snap["snapshot-id"] == sid
+    assert snap["summary"]["operation"] == "replace"
+    data, deletes = ice.plan_scan(meta, snap)
+    assert deletes == []  # MoR deletes materialized away
+    # pre-compaction snapshot still time-travels (incl. its deletes)
+    assert _rows(ice.read_iceberg(spark, t, snapshot_id=pre_sid)) \
+        == before
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    docs = _docs(spark)
+    t = str(tmp_path / "t")
+    s1 = ice.write_iceberg(docs.filter("doc_id % 2 = 0"), t)
+    ice.append_iceberg(docs.filter("doc_id % 2 = 1"), t)
+    ice.delete_where(spark, t, "doc_id % 5 = 0")
+    keep_rows = _rows(ice.read_iceberg(spark, t))
+    ice.compact_table(spark, t)
+
+    res = ice.expire_snapshots(t, keep_last=1)
+    assert res["expired_snapshots"] == 3
+    assert res["deleted_files"] > 0
+    # current state is untouched
+    assert _rows(ice.read_iceberg(spark, t)) == keep_rows
+    # the expired snapshot is gone from metadata — time travel raises
+    with pytest.raises(ice.IcebergError, match="not found"):
+        ice.read_iceberg(spark, t, snapshot_id=s1)
+    # idempotent once everything else is expired
+    assert ice.expire_snapshots(t, keep_last=5) == \
+        {"expired_snapshots": 0, "deleted_files": 0}
+    with pytest.raises(ice.IcebergError, match="exactly one"):
+        ice.expire_snapshots(t)
+
+
+def test_expire_keeps_shared_files_of_retained_snapshots(spark,
+                                                         tmp_path):
+    docs = _docs(spark)
+    t = str(tmp_path / "t")
+    ice.write_iceberg(docs.filter("doc_id % 2 = 0"), t)
+    s2 = ice.append_iceberg(docs.filter("doc_id % 2 = 1"), t)
+    s3 = ice.append_iceberg(
+        docs.filter("doc_id % 2 = 1").limit(0), t)  # empty append
+    # expire only snapshot 1; snapshots 2 and 3 share its data files
+    res = ice.expire_snapshots(t, keep_last=2)
+    assert res["expired_snapshots"] == 1
+    # shared data files survive: both retained snapshots still read
+    assert _rows(ice.read_iceberg(spark, t, snapshot_id=s2)) == \
+        _rows(docs)
+    assert _rows(ice.read_iceberg(spark, t, snapshot_id=s3)) == \
+        _rows(docs)
