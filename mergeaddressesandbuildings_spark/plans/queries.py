@@ -3530,6 +3530,86 @@ def iceberg_partition_prune(spark, sf_dir):
 
 
 @register(
+    "iceberg_schema_evolution",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS chars,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(n_chars AS DOUBLE) * 0.5 END AS quality
+    FROM documents
+    """,
+)
+def iceberg_schema_evolution(spark, sf_dir):
+    """Iceberg schema evolution, field-id resolution end-to-end
+    (sources/iceberg.py evolve_schema/_project_tasks): snapshot 1
+    commits the even docs under (doc_id int, source, n_chars int);
+    the schema then evolves — doc_id and n_chars promote int->long,
+    n_chars renames to `chars`, and a `quality` double is added —
+    and snapshot 2 appends the odd docs under the NEW schema with
+    quality = chars * 0.5. The read resolves both file generations by
+    field id: pre-evolution files surface promoted types, the new
+    name, and NULL quality (spec: added columns read null from older
+    files); no data file is rewritten. The oracle recomputes the same
+    union relationally, so the hash match proves values survive
+    rename+promotion bit-exactly across mixed-schema files."""
+    import tempfile
+
+    from mergeaddressesandbuildings_spark.sources import iceberg as I
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("int").alias("doc_id"), "source",
+        F.col("n_chars").cast("int").alias("n_chars"))
+    tdir = tempfile.mkdtemp(prefix="ice_evo_")
+    I.write_iceberg(docs.filter(F.col("doc_id") % 2 == 0), tdir)
+    I.evolve_schema(tdir, retype={"doc_id": "long", "n_chars": "long"})
+    I.evolve_schema(tdir, rename={"n_chars": "chars"},
+                    add=[("quality", "double")])
+    odd = (docs.filter(F.col("doc_id") % 2 == 1)
+           .select(F.col("doc_id").cast("long"), "source",
+                   F.col("n_chars").cast("long").alias("chars"),
+                   (F.col("n_chars").cast("double") * 0.5)
+                   .alias("quality")))
+    I.append_iceberg(odd, tdir)
+    return I.read_iceberg(spark, tdir)
+
+
+@register(
+    "iceberg_compaction_gc",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 4 <> 0 AND source <> 'src5'
+    """,
+)
+def iceberg_compaction_gc(spark, sf_dir):
+    """Iceberg table maintenance end-to-end (sources/iceberg.py
+    compact_table/expire_snapshots): the corpus is committed
+    partitioned by source, trimmed by a positional delete
+    (doc_id%4==0) and an equality delete (source='src5'), then
+    compacted — a `replace` snapshot materializes the merge-on-read
+    state into fresh files — and every pre-compaction snapshot is
+    expired, garbage-collecting all unreferenced manifests and data/
+    delete files. The oracle recomputes the survivors relationally, so
+    the hash match proves compaction + expiry preserve table content
+    exactly while resetting scan cost to O(live data) — the rolling-
+    maintenance shape a 100 TB MoR table needs to stay readable."""
+    import tempfile
+
+    from mergeaddressesandbuildings_spark.sources import iceberg as I
+
+    docs = _ice_docs(spark, sf_dir)
+    tdir = tempfile.mkdtemp(prefix="ice_gc_")
+    I.write_iceberg(docs, tdir, partition_by=["source"])
+    I.delete_where(spark, tdir, "doc_id % 4 = 0")
+    I.add_equality_deletes(
+        spark, tdir, spark.createDataFrame([("src5",)], ["source"]),
+        ["source"])
+    I.compact_table(spark, tdir)
+    I.expire_snapshots(tdir, keep_last=1)
+    return I.read_iceberg(spark, tdir)
+
+
+@register(
     "salted_order_join",
     """
     SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
@@ -4176,6 +4256,11 @@ _DRIVER_WINDOW_TAIL = [
     "min_value_event_per_user",  # driver-green r4
     "mkt_tag_value",  # driver-green r4
     "haversine_to_hq",  # driver-green r4
+    # (second r5 repack: two more r4-green rows parked to make room
+    # for iceberg_schema_evolution + iceberg_compaction_gc in the
+    # driver head)
+    "street_normalize",  # driver-green r4
+    "morton_cells",  # driver-green r4
     # ROUND-4 ROTATION (round-3 verdict task 3): the head (everything
     # NOT listed here) is packed with the 14 never-driver-run entries,
     # the 6 whose latest driver row is r1, and the 30 oldest r2-latest
