@@ -560,6 +560,40 @@ def _pruned(df_entry: dict, part: dict, row_filter: list[tuple],
 # reading
 # ---------------------------------------------------------------------
 
+def _common_hive_root(tasks: list[ScanTask], pnames: list[str],
+                      read_sch: dict) -> str | None:
+    """If every task's path is laid out hive-style under ONE common
+    root with directory values that match its manifest partition
+    values exactly, return that root — the reader can then attach
+    partition columns via Spark's partition discovery in a single
+    DataFrame instead of one DataFrame per partition value. Returns
+    None (caller falls back to literal attachment) for foreign
+    layouts, encoding mismatches, or types _hive_partition can't
+    round-trip: partition values are authoritative from MANIFESTS per
+    the spec, so the fast path must prove the directory encoding
+    agrees before trusting it."""
+    part_types = {f["name"]: f["type"] for f in read_sch["fields"]
+                  if f["name"] in pnames}
+    if len(part_types) != len(pnames):
+        return None
+    if any(t in ("timestamptz", "timestamp", "binary")
+           for t in part_types.values()):
+        return None  # dir encoding of these is not round-trip-safe
+    root = None
+    for t in tasks:
+        d = os.path.dirname(t.path)
+        for _ in pnames:
+            d = os.path.dirname(d)
+        if root is None:
+            root = d
+        elif root != d:
+            return None
+        parsed = _hive_partition(t.path, root, part_types)
+        if parsed != {k: t.partition.get(k) for k in pnames}:
+            return None
+    return root
+
+
 def _project_tasks(spark: SparkSession, meta: dict, read_sch: dict,
                    data: list[ScanTask], need_seq: bool) -> DataFrame:
     """Union all scan tasks into one DataFrame projected under
@@ -570,23 +604,49 @@ def _project_tasks(spark: SparkSession, meta: dict, read_sch: dict,
     columns are re-attached from manifest partition values; int->long
     and float->double promotions cast at scan. With ``need_seq`` each
     row also carries (_ice_path, _ice_pos, _ice_seq) lineage for
-    merge-on-read delete application."""
+    merge-on-read delete application.
+
+    Scale note: files group by (write-schema, sequence-number) ONLY —
+    when a group's files sit hive-style under one root whose directory
+    values provably match the manifests, partition columns attach via
+    Spark partition discovery with an EXPLICIT schema (directory
+    values cast, never inferred), so driver-side plan construction is
+    O(appends), not O(partition values). A 1000-partition daily crawl
+    plans in a handful of DataFrame constructions instead of
+    thousands. Foreign layouts fall back to one literal-attach group
+    per partition value."""
     import pyarrow.parquet as pq
 
-    groups: dict[tuple, list[ScanTask]] = {}
+    coarse: dict[tuple, list[ScanTask]] = {}
     for t in data:
-        key = (t.schema_id, t.seq if need_seq else 0,
-               tuple(sorted((c, t.partition.get(c))
-                            for c in t.partition)))
-        groups.setdefault(key, []).append(t)
+        coarse.setdefault((t.schema_id, t.seq if need_seq else 0),
+                          []).append(t)
 
-    parts = []
-    for (wsid, seq, _pkey), tasks in sorted(
-            groups.items(), key=lambda kv: str(kv[0])):
+    def _read_group(tasks: list[ScanTask], wsid: int, seq: int,
+                    hive_root: str | None,
+                    pnames: list[str]) -> DataFrame:
         w_by_id = _field_by_id(_schema_for_id(meta, wsid))
         t0 = tasks[0]
-        physical = set(pq.ParquetFile(t0.path).schema_arrow.names)
-        df = spark.read.parquet(*[t.path for t in tasks])
+        try:
+            from pyspark.sql.pandas.types import from_arrow_schema
+            phys = from_arrow_schema(
+                pq.ParquetFile(t0.path).schema_arrow)
+        except Exception:
+            phys = None  # exotic footer: let the JVM infer
+        physical = set(phys.fieldNames()) if phys is not None else \
+            set(pq.ParquetFile(t0.path).schema_arrow.names)
+        reader = spark.read
+        by_name = _field_by_name(read_sch)
+        if phys is not None and hive_root is not None:
+            full = T.StructType(list(phys.fields) + [
+                T.StructField(c, _ICE_TO_SPARK[by_name[c]["type"]],
+                              True) for c in pnames])
+            reader = reader.schema(full).option("basePath", hive_root)
+        elif phys is not None:
+            reader = reader.schema(phys)
+        elif hive_root is not None:
+            reader = reader.option("basePath", hive_root)
+        df = reader.parquet(*[t.path for t in tasks])
         if need_seq:
             df = (df.withColumn("_ice_path", F.regexp_replace(
                       F.col("_metadata.file_path"), "^file:/+", "/"))
@@ -601,6 +661,13 @@ def _project_tasks(spark: SparkSession, meta: dict, read_sch: dict,
                 c = F.col(wf["name"])
                 if wf["type"] != f["type"]:
                     c = c.cast(tgt)  # int->long / float->double
+                sel.append(c.alias(f["name"]))
+            elif hive_root is not None and f["name"] in pnames:
+                # attached by partition discovery, typed by the
+                # explicit schema above (or inferred+cast below)
+                c = F.col(f["name"])
+                if phys is None:
+                    c = c.cast(tgt)
                 sel.append(c.alias(f["name"]))
             elif f["name"] in t0.partition:
                 v = t0.partition.get(f["name"])
@@ -622,7 +689,24 @@ def _project_tasks(spark: SparkSession, meta: dict, read_sch: dict,
         if need_seq:
             sel += [F.col("_ice_path"), F.col("_ice_pos"),
                     F.col("_ice_seq")]
-        parts.append(df.select(*sel))
+        return df.select(*sel)
+
+    parts = []
+    for (wsid, seq), tasks in sorted(coarse.items()):
+        pnames = sorted({c for t in tasks for c in t.partition})
+        root = _common_hive_root(tasks, pnames, read_sch) \
+            if pnames else None
+        if pnames and root is None:
+            fine: dict[tuple, list[ScanTask]] = {}
+            for t in tasks:
+                k = tuple(sorted((c, t.partition.get(c))
+                                 for c in pnames))
+                fine.setdefault(k, []).append(t)
+            for _k, g in sorted(fine.items(),
+                                key=lambda kv: str(kv[0])):
+                parts.append(_read_group(g, wsid, seq, None, pnames))
+        else:
+            parts.append(_read_group(tasks, wsid, seq, root, pnames))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
