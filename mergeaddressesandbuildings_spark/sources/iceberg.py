@@ -38,9 +38,12 @@ Scale notes (the 100 TB contract):
   manifests — so planning cost is O(metadata), not O(directory).
 
 Supported surface (loud errors beyond it): format-version 2; identity
-partitioning (+ unpartitioned); parquet data files; avro codecs
-null/deflate; primitive column types long/int/double/float/string/
-boolean/binary/date/timestamptz. Other transforms (bucket/truncate/
+partitioning (+ unpartitioned, primitive source columns only); parquet
+data files; avro codecs null/deflate; primitive column types long/int/
+double/float/string/boolean/binary/date/timestamptz plus nested
+struct/list/map compositions of them (each nested field gets its own
+spec field id; bounds are recorded for primitives only; evolution
+operates on top-level columns). Other transforms (bucket/truncate/
 days) are read as opaque partition values but cannot be pruned on and
 raise only if pruning on them is requested.
 """
@@ -100,14 +103,89 @@ def _spark_to_ice_type(dt: T.DataType) -> str:
             return v
     raise IcebergError(
         f"unsupported Spark type for the iceberg fixture writer: {dt} "
-        "(nested/decimal types are out of this layer's scope — the "
+        "(decimal/interval types are out of this layer's scope — the "
         "production path uses the JVM Iceberg writer)")
 
 
-def serialize_bound(ice_type: str, v) -> bytes | None:
+def _spark_to_ice(dt: T.DataType, alloc) -> str | dict:
+    """Spark type -> Iceberg type JSON (spec: Schemas). Nested types
+    carry their own field ids — ``alloc()`` hands out fresh ones for
+    struct fields, list elements and map keys/values so every id in
+    the schema tree is unique (the invariant evolution relies on)."""
+    if isinstance(dt, T.StructType):
+        # everything is written optional (spec-legal; matches the JVM
+        # Spark writer's default) so read schemas are stable however
+        # the parquet reader reports leaf nullability
+        fields = []
+        for f in dt.fields:
+            fid = alloc()
+            fields.append({"id": fid, "name": f.name,
+                           "required": False,
+                           "type": _spark_to_ice(f.dataType, alloc)})
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.ArrayType):
+        eid = alloc()
+        return {"type": "list", "element-id": eid,
+                "element": _spark_to_ice(dt.elementType, alloc),
+                "element-required": not dt.containsNull}
+    if isinstance(dt, T.MapType):
+        kid = alloc()
+        key = _spark_to_ice(dt.keyType, alloc)
+        vid = alloc()
+        return {"type": "map", "key-id": kid, "key": key,
+                "value-id": vid,
+                "value": _spark_to_ice(dt.valueType, alloc),
+                "value-required": not dt.valueContainsNull}
+    return _spark_to_ice_type(dt)
+
+
+def _ice_type_to_spark(t) -> T.DataType:
+    """Iceberg type JSON -> Spark type (inverse of _spark_to_ice)."""
+    if isinstance(t, str):
+        if t not in _ICE_TO_SPARK:
+            raise IcebergError(
+                f"iceberg type {t!r} outside this layer's scope")
+        return _ICE_TO_SPARK[t]
+    kind = t.get("type")
+    if kind == "struct":
+        return T.StructType([
+            T.StructField(f["name"], _ice_type_to_spark(f["type"]),
+                          not f.get("required", False))
+            for f in t["fields"]])
+    if kind == "list":
+        return T.ArrayType(_ice_type_to_spark(t["element"]),
+                           not t.get("element-required", False))
+    if kind == "map":
+        return T.MapType(_ice_type_to_spark(t["key"]),
+                         _ice_type_to_spark(t["value"]),
+                         not t.get("value-required", False))
+    raise IcebergError(f"iceberg type {t!r} outside this layer's scope")
+
+
+def _max_field_id(schema: dict) -> int:
+    """Highest field id anywhere in the schema tree (incl. nested) —
+    the spec's last-column-id must dominate ALL of them, or evolution
+    would mint colliding ids."""
+    def walk(t) -> int:
+        if isinstance(t, str):
+            return 0
+        kind = t.get("type")
+        if kind == "struct":
+            return max((max(f["id"], walk(f["type"]))
+                        for f in t["fields"]), default=0)
+        if kind == "list":
+            return max(t["element-id"], walk(t["element"]))
+        if kind == "map":
+            return max(t["key-id"], t["value-id"],
+                       walk(t["key"]), walk(t["value"]))
+        return 0
+    return walk(schema)
+
+
+def serialize_bound(ice_type, v) -> bytes | None:
     """Single-value serialization, Iceberg spec Appendix D."""
-    if v is None:
-        return None
+    if v is None or not isinstance(ice_type, str):
+        return None  # no bounds for nested types (spec records none)
     if ice_type == "int" or ice_type == "date":
         return struct.pack("<i", int(v))
     if ice_type in ("long", "timestamptz", "timestamp"):
@@ -125,8 +203,8 @@ def serialize_bound(ice_type: str, v) -> bytes | None:
     return None  # unsupported type: record no bound (conservative)
 
 
-def deserialize_bound(ice_type: str, b: bytes | None):
-    if b is None:
+def deserialize_bound(ice_type, b: bytes | None):
+    if b is None or not isinstance(ice_type, str):
         return None
     if ice_type == "int" or ice_type == "date":
         return struct.unpack("<i", bytes(b))[0]
@@ -316,16 +394,10 @@ def _spec_by_id(meta: dict, spec_id: int) -> dict:
 
 def spark_schema(meta: dict, schema: dict | None = None) -> T.StructType:
     sch = schema if schema is not None else _current_schema(meta)
-    fields = []
-    for f in sch["fields"]:
-        t = f["type"]
-        if not isinstance(t, str) or t not in _ICE_TO_SPARK:
-            raise IcebergError(
-                f"column {f['name']!r}: iceberg type {t!r} outside this "
-                "layer's primitive scope")
-        fields.append(T.StructField(f["name"], _ICE_TO_SPARK[t],
-                                    not f.get("required", False)))
-    return T.StructType(fields)
+    return T.StructType([
+        T.StructField(f["name"], _ice_type_to_spark(f["type"]),
+                      not f.get("required", False))
+        for f in sch["fields"]])
 
 
 def select_snapshot(meta: dict, snapshot_id: int | None = None,
@@ -639,8 +711,8 @@ def _project_tasks(spark: SparkSession, meta: dict, read_sch: dict,
         by_name = _field_by_name(read_sch)
         if phys is not None and hive_root is not None:
             full = T.StructType(list(phys.fields) + [
-                T.StructField(c, _ICE_TO_SPARK[by_name[c]["type"]],
-                              True) for c in pnames])
+                T.StructField(c, _ice_type_to_spark(
+                    by_name[c]["type"]), True) for c in pnames])
             reader = reader.schema(full).option("basePath", hive_root)
         elif phys is not None:
             reader = reader.schema(phys)
@@ -655,7 +727,7 @@ def _project_tasks(spark: SparkSession, meta: dict, read_sch: dict,
                     .withColumn("_ice_seq", F.lit(seq)))
         sel = []
         for f in read_sch["fields"]:
-            tgt = _ICE_TO_SPARK[f["type"]]
+            tgt = _ice_type_to_spark(f["type"])
             wf = w_by_id.get(f["id"])
             if wf is not None and wf["name"] in physical:
                 c = F.col(wf["name"])
@@ -784,7 +856,9 @@ def read_iceberg(spark: SparkSession, table_dir: str,
         for c in eq_cols:
             cond = cond & out[c].eqNullSafe(dels[f"_del_{c}"])
         out = out.join(dels, cond, "left_anti")
-    return out.select(*cols)
+    # normalize to the metadata schema (nullability included) so the
+    # read contract is stable however the parquet scan reports leaves
+    return out.select(*cols).to(schema)
 
 
 def _by_seq(tasks: list[DeleteTask]) -> dict[int, list[DeleteTask]]:
@@ -830,10 +904,14 @@ def _table_uuid(table_dir: str) -> str:
 
 
 def _ice_schema_json(df: DataFrame) -> dict:
+    import itertools
+    counter = itertools.count(1)
+    alloc = lambda: next(counter)  # noqa: E731
     fields = []
-    for i, f in enumerate(df.schema.fields, start=1):
-        fields.append({"id": i, "name": f.name, "required": False,
-                       "type": _spark_to_ice_type(f.dataType)})
+    for f in df.schema.fields:
+        fid = alloc()
+        fields.append({"id": fid, "name": f.name, "required": False,
+                       "type": _spark_to_ice(f.dataType, alloc)})
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
@@ -1003,8 +1081,8 @@ def _commit_snapshot(table_dir: str, manifest_entries: list[dict],
         "location": f"file://{os.path.abspath(table_dir)}",
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": max((f["id"] for s in schemas
-                               for f in s["fields"]), default=0),
+        "last-column-id": max((_max_field_id(s) for s in schemas),
+                              default=0),
         "current-schema-id": schema.get("schema-id", 0),
         "schemas": schemas,
         "default-spec-id": 0,
@@ -1050,6 +1128,10 @@ def _partition_fields(schema: dict, partition_by: list[str]) -> list:
     for i, col in enumerate(partition_by):
         if col not in by_name:
             raise IcebergError(f"partition column {col!r} not in schema")
+        if not isinstance(by_name[col]["type"], str):
+            raise IcebergError(
+                f"partition column {col!r} has a nested type — "
+                "identity partitioning needs a primitive source")
         out.append({"name": col, "source-id": by_name[col]["id"],
                     "field-id": 1000 + i,
                     "ice_type": by_name[col]["type"]})
@@ -1087,7 +1169,7 @@ def _append(df: DataFrame, table_dir: str,
     else:
         schema = _current_schema(parent)
         df = df.select(*[
-            F.col(f["name"]).cast(_ICE_TO_SPARK[f["type"]])
+            F.col(f["name"]).cast(_ice_type_to_spark(f["type"]))
             .alias(f["name"]) for f in schema["fields"]])
     pfields = _partition_fields(schema, partition_by or [])
     sid_next = max((s["snapshot-id"]
