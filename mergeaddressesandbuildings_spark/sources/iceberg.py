@@ -1255,6 +1255,11 @@ def evolve_schema(table_dir: str,
         if f["id"] in part_src:
             raise IcebergError(
                 f"retype: {col!r} sources the partition spec")
+        if not isinstance(f["type"], str) or \
+                not isinstance(new_t, str):
+            raise IcebergError(
+                f"retype: {col!r} — only primitive promotions are "
+                "supported (nested types cannot be retyped)")
         if (f["type"], new_t) not in _PROMOTIONS:
             raise IcebergError(
                 f"retype: {f['type']} -> {new_t} is not a safe "

@@ -677,3 +677,11 @@ def test_merge_over_iceberg_inputs_bit_identical(spark, tmp_path):
     via_ice = run_merge(spark, ice.read_iceberg(spark, pt),
                         ice.read_iceberg(spark, et))
     assert fp(via_ice) == fp(direct)
+
+
+def test_retype_nested_is_loud_not_typeerror(spark, tmp_path):
+    from mergeaddressesandbuildings_spark.sources import pages as pg
+    t = str(tmp_path / "t")
+    ice.write_iceberg(pg.existing_osm_df(spark, 50), t)
+    with pytest.raises(ice.IcebergError, match="nested types cannot"):
+        ice.evolve_schema(t, retype={"ring": "string"})
