@@ -127,7 +127,7 @@ def _spark_to_ice(dt: T.DataType, alloc) -> str | dict:
         eid = alloc()
         return {"type": "list", "element-id": eid,
                 "element": _spark_to_ice(dt.elementType, alloc),
-                "element-required": not dt.containsNull}
+                "element-required": False}
     if isinstance(dt, T.MapType):
         kid = alloc()
         key = _spark_to_ice(dt.keyType, alloc)
@@ -135,7 +135,7 @@ def _spark_to_ice(dt: T.DataType, alloc) -> str | dict:
         return {"type": "map", "key-id": kid, "key": key,
                 "value-id": vid,
                 "value": _spark_to_ice(dt.valueType, alloc),
-                "value-required": not dt.valueContainsNull}
+                "value-required": False}
     return _spark_to_ice_type(dt)
 
 

@@ -685,3 +685,18 @@ def test_retype_nested_is_loud_not_typeerror(spark, tmp_path):
     ice.write_iceberg(pg.existing_osm_df(spark, 50), t)
     with pytest.raises(ice.IcebergError, match="nested types cannot"):
         ice.evolve_schema(t, retype={"ring": "string"})
+
+
+def test_nonnull_array_elements_roundtrip(spark, tmp_path):
+    # array(struct(...)) built inline has containsNull=False; the
+    # written schema must stay all-optional or the read-side schema
+    # normalization trips a NOT_NULL_CONSTRAINT_VIOLATION
+    t = str(tmp_path / "t")
+    df = spark.range(5).selectExpr(
+        "id", "array(struct(cast(id as double) as lat, "
+              "cast(id as double) as lon)) as ring")
+    ice.write_iceberg(df, t)
+    back = ice.read_iceberg(spark, t)
+    assert back.count() == 5
+    assert _canon(back.select("id", "ring")) == \
+        _canon(df.select("id", "ring"))
