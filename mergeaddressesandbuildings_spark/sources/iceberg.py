@@ -710,9 +710,12 @@ def _project_tasks(spark: SparkSession, meta: dict, read_sch: dict,
         reader = spark.read
         by_name = _field_by_name(read_sch)
         if phys is not None and hive_root is not None:
+            # spec allows identity-partition columns to ALSO be kept
+            # in the data files; only attach the ones that aren't
             full = T.StructType(list(phys.fields) + [
                 T.StructField(c, _ice_type_to_spark(
-                    by_name[c]["type"]), True) for c in pnames])
+                    by_name[c]["type"]), True)
+                for c in pnames if c not in physical])
             reader = reader.schema(full).option("basePath", hive_root)
         elif phys is not None:
             reader = reader.schema(phys)
