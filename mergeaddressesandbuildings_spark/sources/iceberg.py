@@ -791,7 +791,8 @@ def _project_tasks(spark: SparkSession, meta: dict, read_sch: dict,
 def read_iceberg(spark: SparkSession, table_dir: str,
                  snapshot_id: int | None = None,
                  as_of_ms: int | None = None,
-                 row_filter: list[tuple] | None = None) -> DataFrame:
+                 row_filter: list[tuple] | None = None,
+                 ref: str | None = None) -> DataFrame:
     """Read an Iceberg v2 table as a DataFrame (merge-on-read applied).
 
     The scan is planned purely from table metadata (`plan_scan`);
@@ -802,13 +803,25 @@ def read_iceberg(spark: SparkSession, table_dir: str,
     the spec's sequence-number rules.
     """
     meta = load_metadata(table_dir)
+    snapshot_schema = snapshot_id is not None or as_of_ms is not None
+    if ref is not None:
+        if snapshot_schema:
+            raise IcebergError(
+                "pass ref OR snapshot_id/as_of_ms, not both")
+        refs = meta.get("refs", {})
+        if ref not in refs:
+            raise IcebergError(
+                f"ref {ref!r} not found (have {sorted(refs)})")
+        snapshot_id = refs[ref]["snapshot-id"]
+        # spec: tag reads project the snapshot's schema; branch reads
+        # the table's current schema
+        snapshot_schema = refs[ref].get("type") == "tag"
     snap = select_snapshot(meta, snapshot_id, as_of_ms)
     # spec: a time-travel scan projects under the SNAPSHOT's schema
     # (the names/columns the data had then); a current scan projects
     # under the current schema. Column resolution into each data file
     # is by field id through the file's write-time schema either way.
-    if snap is not None and (snapshot_id is not None
-                             or as_of_ms is not None):
+    if snap is not None and snapshot_schema:
         read_sch = _schema_for_id(
             meta, snap.get("schema-id", meta["current-schema-id"]))
     else:
@@ -1105,7 +1118,9 @@ def _commit_snapshot(table_dir: str, manifest_entries: list[dict],
             "write.format.default": "parquet",
         },
         "current-snapshot-id": sid,
-        "refs": {"main": {"snapshot-id": sid, "type": "branch"}},
+        # carry user refs (tags/branches) across commits; main advances
+        "refs": {**(parent_meta or {}).get("refs", {}),
+                 "main": {"snapshot-id": sid, "type": "branch"}},
         "snapshots": snaps,
         "snapshot-log": slog,
         "metadata-log": [],
@@ -1290,12 +1305,7 @@ def evolve_schema(table_dir: str,
     meta["last-updated-ms"] = now_ms
     meta["properties"]["schema.name-mapping.default"] = json.dumps(
         _name_mapping(new_schema))
-    v = _read_version_hint(table_dir) + 1
-    md = _meta_dir(table_dir)
-    with open(os.path.join(md, f"v{v}.metadata.json"), "w") as fh:
-        json.dump(meta, fh, indent=1)
-    with open(os.path.join(md, "version-hint.text"), "w") as fh:
-        fh.write(str(v))
+    _write_metadata_version(table_dir, meta)
     return new_sid
 
 
@@ -1494,6 +1504,51 @@ def compact_table(spark: SparkSession, table_dir: str) -> int:
                             schema, pfields)
 
 
+def create_ref(table_dir: str, name: str, kind: str = "tag",
+               snapshot_id: int | None = None) -> None:
+    """Create (or move) a named ref — ``kind`` "tag" (audit pointer,
+    reads project the snapshot's schema) or "branch" (reads project
+    the current table schema). Defaults to the current snapshot.
+    Metadata-only commit; refs survive later snapshots and protect
+    their snapshot from expire_snapshots."""
+    if kind not in ("tag", "branch"):
+        raise IcebergError(f"ref kind {kind!r} (tag|branch)")
+    if name == "main":
+        raise IcebergError("main is managed by commits")
+    meta = load_metadata(table_dir)
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+        if snapshot_id in (None, -1):
+            raise IcebergError("empty table has no snapshot to ref")
+    elif all(s["snapshot-id"] != snapshot_id
+             for s in meta.get("snapshots", [])):
+        raise IcebergError(f"snapshot {snapshot_id} not found")
+    meta.setdefault("refs", {})[name] = {
+        "snapshot-id": snapshot_id, "type": kind}
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata_version(table_dir, meta)
+
+
+def drop_ref(table_dir: str, name: str) -> None:
+    if name == "main":
+        raise IcebergError("main cannot be dropped")
+    meta = load_metadata(table_dir)
+    if name not in meta.get("refs", {}):
+        raise IcebergError(f"ref {name!r} not found")
+    del meta["refs"][name]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata_version(table_dir, meta)
+
+
+def _write_metadata_version(table_dir: str, meta: dict) -> None:
+    v = _read_version_hint(table_dir) + 1
+    md = _meta_dir(table_dir)
+    with open(os.path.join(md, f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+
+
 def expire_snapshots(table_dir: str, keep_last: int | None = None,
                      older_than_ms: int | None = None) -> dict:
     """Drop expired snapshots from table metadata and delete every
@@ -1517,6 +1572,8 @@ def expire_snapshots(table_dir: str, keep_last: int | None = None,
         keep = {s["snapshot-id"] for s in ordered
                 if s["timestamp-ms"] >= older_than_ms}
     keep.add(cur)
+    # every ref'd snapshot is retained (spec: expiry honors refs)
+    keep |= {r["snapshot-id"] for r in meta.get("refs", {}).values()}
     expired = [s for s in snaps if s["snapshot-id"] not in keep]
     if not expired:
         return {"expired_snapshots": 0, "deleted_files": 0}
@@ -1544,12 +1601,7 @@ def expire_snapshots(table_dir: str, keep_last: int | None = None,
     meta["snapshot-log"] = [e for e in meta.get("snapshot-log", [])
                             if e["snapshot-id"] in keep]
     meta["last-updated-ms"] = int(time.time() * 1000)
-    v = _read_version_hint(table_dir) + 1
-    md = _meta_dir(table_dir)
-    with open(os.path.join(md, f"v{v}.metadata.json"), "w") as fh:
-        json.dump(meta, fh, indent=1)
-    with open(os.path.join(md, "version-hint.text"), "w") as fh:
-        fh.write(str(v))
+    _write_metadata_version(table_dir, meta)
     deleted = 0
     for p in to_delete:
         if os.path.exists(p):

@@ -700,3 +700,48 @@ def test_nonnull_array_elements_roundtrip(spark, tmp_path):
     assert back.count() == 5
     assert _canon(back.select("id", "ring")) == \
         _canon(df.select("id", "ring"))
+
+
+# ---------------------------------------------------------------------
+# named refs (tags + branches)
+# ---------------------------------------------------------------------
+
+def test_refs_tag_branch_and_expiry_retention(spark, tmp_path):
+    docs = _docs(spark)
+    t = str(tmp_path / "t")
+    s1 = ice.write_iceberg(docs.filter("doc_id % 2 = 0"), t)
+    ice.create_ref(t, "v1", kind="tag")           # tag at snapshot 1
+    s2 = ice.append_iceberg(docs.filter("doc_id % 2 = 1"), t)
+    ice.create_ref(t, "audit", kind="branch", snapshot_id=s1)
+
+    # refs survive later commits (s2 was committed after the tag)
+    meta = ice.load_metadata(t)
+    assert meta["refs"]["v1"] == {"snapshot-id": s1, "type": "tag"}
+    assert meta["refs"]["main"]["snapshot-id"] == s2
+
+    # tag read == snapshot-1 content
+    assert _rows(ice.read_iceberg(spark, t, ref="v1")) == \
+        _rows(docs.filter("doc_id % 2 = 0"))
+    # schema semantics: tag projects the snapshot's schema, branch the
+    # table's current schema
+    ice.evolve_schema(t, rename={"lang": "language"})
+    assert "lang" in ice.read_iceberg(spark, t, ref="v1").columns
+    assert "language" in ice.read_iceberg(spark, t,
+                                          ref="audit").columns
+
+    # expiry retains ref'd snapshots
+    res = ice.expire_snapshots(t, keep_last=1)
+    assert res["expired_snapshots"] == 0  # s1 is ref'd, s2 is current
+    ice.drop_ref(t, "v1")
+    ice.drop_ref(t, "audit")
+    res = ice.expire_snapshots(t, keep_last=1)
+    assert res["expired_snapshots"] == 1
+
+    with pytest.raises(ice.IcebergError, match="not found"):
+        ice.read_iceberg(spark, t, ref="v1")
+    with pytest.raises(ice.IcebergError, match="managed by commits"):
+        ice.create_ref(t, "main")
+    with pytest.raises(ice.IcebergError, match="cannot be dropped"):
+        ice.drop_ref(t, "main")
+    with pytest.raises(ice.IcebergError, match="not both"):
+        ice.read_iceberg(spark, t, ref="x", snapshot_id=1)
