@@ -351,6 +351,10 @@ def load_metadata(table_dir: str) -> dict:
     if fv != 2:
         raise IcebergError(
             f"{table_dir}: format-version {fv} unsupported (v2 only)")
+    # private bookkeeping (never serialized): which version this dict
+    # was loaded from — commits built on it publish EXACTLY v+1, so a
+    # writer racing on a stale parent conflicts instead of clobbering
+    meta["_loaded-version"] = v
     return meta
 
 
@@ -919,6 +923,16 @@ def _table_uuid(table_dir: str) -> str:
     return str(uuidlib.UUID(bytes=h[:16]))
 
 
+def _attempt_id() -> str:
+    """Unique per write attempt: data files land under an
+    attempt-unique root so racing writers never collide on PATHS —
+    the conflict is decided at the metadata pointer swap
+    (_write_metadata_version), exactly like the JVM writer; a loser's
+    orphaned files are invisible (manifests never reference them) and
+    reclaimable by any orphan-file sweep."""
+    return uuidlib.uuid4().hex[:8]
+
+
 def _ice_schema_json(df: DataFrame) -> dict:
     import itertools
     counter = itertools.count(1)
@@ -1064,9 +1078,11 @@ def _commit_snapshot(table_dir: str, manifest_entries: list[dict],
         snaps = list(parent_meta.get("snapshots", []))
         slog = list(parent_meta.get("snapshot-log", []))
         parent_id = parent_meta.get("current-snapshot-id")
-        v = _read_version_hint(table_dir) + 1
+        base_v = parent_meta.get("_loaded-version",
+                                 _read_version_hint(table_dir))
     else:
-        sid, seq, snaps, slog, parent_id, v = 1, 1, [], [], None, 1
+        sid, seq, snaps, slog, parent_id = 1, 1, [], [], None
+        base_v = 0
 
     mlist = os.path.join(
         md, f"snap-{sid}-1-{_table_uuid(table_dir)[:8]}.avro")
@@ -1125,10 +1141,7 @@ def _commit_snapshot(table_dir: str, manifest_entries: list[dict],
         "snapshot-log": slog,
         "metadata-log": [],
     }
-    with open(os.path.join(md, f"v{v}.metadata.json"), "w") as fh:
-        json.dump(meta, fh, indent=1)
-    with open(os.path.join(md, "version-hint.text"), "w") as fh:
-        fh.write(str(v))
+    _write_metadata_version(table_dir, meta, expected_from=base_v)
     return sid
 
 
@@ -1194,7 +1207,8 @@ def _append(df: DataFrame, table_dir: str,
                     for s in (parent or {}).get("snapshots", [])),
                    default=0) + 1
     seq_next = (parent or {}).get("last-sequence-number", 0) + 1
-    data_root = os.path.join(table_dir, "data", f"snap-{sid_next}")
+    data_root = os.path.join(table_dir, "data",
+                         f"snap-{sid_next}-{_attempt_id()}")
     w = df.write.mode("errorifexists")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -1320,8 +1334,9 @@ def delete_where(spark: SparkSession, table_dir: str,
     if snap is None:
         raise IcebergError("cannot delete from an empty table")
     data, _ = plan_scan(meta, snap)
-    dels_root = os.path.join(table_dir, "data",
-                             f"deletes-{snap['snapshot-id'] + 1}")
+    dels_root = os.path.join(
+        table_dir, "data",
+        f"deletes-{snap['snapshot-id'] + 1}-{_attempt_id()}")
     # evaluate the condition on the field-id-projected view so it
     # names CURRENT columns even over files written pre-rename
     (_project_tasks(spark, meta, _current_schema(meta), data,
@@ -1364,7 +1379,8 @@ def add_equality_deletes(spark: SparkSession, table_dir: str,
     sid_next = max((s["snapshot-id"] for s in meta["snapshots"]),
                    default=0) + 1
     seq_next = meta["last-sequence-number"] + 1
-    dels_root = os.path.join(table_dir, "data", f"eqdel-{sid_next}")
+    dels_root = os.path.join(table_dir, "data",
+                         f"eqdel-{sid_next}-{_attempt_id()}")
     (values.select(*eq_cols).distinct().coalesce(1)
      .write.mode("errorifexists").parquet(dels_root))
     spec = _spec_by_id(meta, meta["default-spec-id"])
@@ -1488,7 +1504,8 @@ def compact_table(spark: SparkSession, table_dir: str) -> int:
     df = read_iceberg(spark, table_dir)
     sid_next = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
     seq_next = meta["last-sequence-number"] + 1
-    data_root = os.path.join(table_dir, "data", f"snap-{sid_next}")
+    data_root = os.path.join(table_dir, "data",
+                         f"snap-{sid_next}-{_attempt_id()}")
     w = df.write.mode("errorifexists")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -1540,11 +1557,29 @@ def drop_ref(table_dir: str, name: str) -> None:
     _write_metadata_version(table_dir, meta)
 
 
-def _write_metadata_version(table_dir: str, meta: dict) -> None:
-    v = _read_version_hint(table_dir) + 1
+def _write_metadata_version(table_dir: str, meta: dict,
+                            expected_from: int | None = None) -> None:
+    """Publish a new metadata version with optimistic concurrency:
+    the target vN.metadata.json is created EXCLUSIVELY at
+    ``expected_from + 1`` (the version the writer's state was loaded
+    from), so a writer racing on the same parent — or on a STALE one —
+    gets a loud CommitConflict (spec: atomic swap of the metadata
+    pointer), never a lost update."""
+    if expected_from is None:
+        expected_from = meta.get("_loaded-version",
+                                 _read_version_hint(table_dir))
+    meta = {k: val for k, val in meta.items()
+            if k != "_loaded-version"}
+    v = expected_from + 1
     md = _meta_dir(table_dir)
-    with open(os.path.join(md, f"v{v}.metadata.json"), "w") as fh:
-        json.dump(meta, fh, indent=1)
+    path = os.path.join(md, f"v{v}.metadata.json")
+    try:
+        with open(path, "x") as fh:
+            json.dump(meta, fh, indent=1)
+    except FileExistsError:
+        raise IcebergError(
+            f"CommitConflict: v{v} was committed concurrently — "
+            "reload table metadata and retry") from None
     with open(os.path.join(md, "version-hint.text"), "w") as fh:
         fh.write(str(v))
 

@@ -745,3 +745,26 @@ def test_refs_tag_branch_and_expiry_retention(spark, tmp_path):
         ice.drop_ref(t, "main")
     with pytest.raises(ice.IcebergError, match="not both"):
         ice.read_iceberg(spark, t, ref="x", snapshot_id=1)
+
+
+def test_stale_parent_commit_conflicts_not_lost_update(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(10).selectExpr("id as k")
+    ice.write_iceberg(df, t)
+    stale = ice.load_metadata(t)           # writer B's view (v1)
+    ice.append_iceberg(df, t)              # writer A commits v2
+    with pytest.raises(ice.IcebergError, match="CommitConflict"):
+        ice._append(df, t, partition_by=None, parent=stale)
+    # A's snapshot survived; the loser changed nothing
+    meta = ice.load_metadata(t)
+    assert len(meta["snapshots"]) == 2
+    assert ice.read_iceberg(spark, t).count() == 20
+
+
+def test_metadata_version_is_created_exclusively(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ice.write_iceberg(spark.range(3).selectExpr("id as k"), t)
+    meta = ice.load_metadata(t)
+    ice.create_ref(t, "r1")                # publishes v2
+    with pytest.raises(ice.IcebergError, match="CommitConflict"):
+        ice._write_metadata_version(t, meta)  # same parent -> same v2
