@@ -1644,3 +1644,60 @@ def expire_snapshots(table_dir: str, keep_last: int | None = None,
             deleted += 1
     return {"expired_snapshots": len(expired),
             "deleted_files": deleted}
+
+
+def remove_orphan_files(table_dir: str,
+                        older_than_ms: int | None = None) -> dict:
+    """Delete files under ``table_dir`` that NO snapshot references —
+    the leftovers of conflict-losing write attempts (attempt-unique
+    roots) and crashed jobs. Every manifest list, manifest and
+    data/delete file reachable from ANY snapshot in current metadata
+    is retained, as are all vN.metadata.json versions and the
+    version hint. ``older_than_ms``: only delete files whose mtime is
+    older — defaults to 24 h ago, because an IN-FLIGHT commit writes
+    its data files and manifests BEFORE the metadata swap publishes
+    them (same grace-period contract as the JVM action's
+    olderThan). Returns {"deleted_files": n}.
+
+    Scale note: referenced-set construction is O(metadata) (manifest
+    chain walk, same cost as planning); the directory walk is O(files
+    on disk) — this is a MAINTENANCE job, never on the read path."""
+    meta = load_metadata(table_dir)
+    refs: set[str] = set()
+    for s in meta.get("snapshots", []):
+        mlist = _local(s["manifest-list"])
+        refs.add(os.path.realpath(mlist))
+        _, mfs = avroio.read_container(mlist)
+        for m in mfs:
+            mpath = _local(m["manifest_path"])
+            refs.add(os.path.realpath(mpath))
+            _, entries = avroio.read_container(mpath)
+            for e in entries:
+                refs.add(os.path.realpath(
+                    _local(e["data_file"]["file_path"])))
+    cutoff = time.time() - 86_400 if older_than_ms is None \
+        else older_than_ms / 1000.0
+    md = os.path.realpath(_meta_dir(table_dir))
+    deleted = 0
+    for dirpath, _dirs, files in os.walk(table_dir):
+        for name in files:
+            p = os.path.realpath(os.path.join(dirpath, name))
+            if os.path.dirname(p) == md and (
+                    name.endswith(".metadata.json")
+                    or name == "version-hint.text"):
+                continue  # metadata versions are expiry's business
+            if p in refs:
+                continue
+            if os.path.getmtime(p) >= cutoff:
+                continue  # too fresh: may belong to an in-flight commit
+            os.remove(p)
+            deleted += 1
+    # prune now-empty data dirs (cosmetic; never touches metadata/)
+    for dirpath, _dirs, _files in os.walk(
+            os.path.join(table_dir, "data"), topdown=False):
+        if os.path.isdir(dirpath) and not os.listdir(dirpath):
+            try:
+                os.rmdir(dirpath)
+            except OSError:
+                pass
+    return {"deleted_files": deleted}

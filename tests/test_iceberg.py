@@ -768,3 +768,40 @@ def test_metadata_version_is_created_exclusively(spark, tmp_path):
     ice.create_ref(t, "r1")                # publishes v2
     with pytest.raises(ice.IcebergError, match="CommitConflict"):
         ice._write_metadata_version(t, meta)  # same parent -> same v2
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    import time as _time
+
+    t = str(tmp_path / "t")
+    df = spark.range(20).selectExpr("id as k")
+    ice.write_iceberg(df, t)
+    # a conflict loser: stale-parent append writes its data files
+    # under an attempt-unique root, then fails at the pointer swap
+    stale = ice.load_metadata(t)
+    ice.append_iceberg(df, t)
+    with pytest.raises(ice.IcebergError, match="CommitConflict"):
+        ice._append(df, t, partition_by=None, parent=stale)
+    before = sum(len(fs) for _, _, fs in __import__("os").walk(t))
+
+    future = int((_time.time() + 60) * 1000)  # everything is "old"
+    res = ice.remove_orphan_files(t, older_than_ms=future)
+    assert res["deleted_files"] > 0
+    # current read and time travel are intact
+    assert ice.read_iceberg(spark, t).count() == 40
+    meta = ice.load_metadata(t)
+    s1 = meta["snapshots"][0]["snapshot-id"]
+    assert ice.read_iceberg(spark, t, snapshot_id=s1).count() == 20
+    # idempotent
+    assert ice.remove_orphan_files(t, older_than_ms=future) == \
+        {"deleted_files": 0}
+    after = sum(len(fs) for _, _, fs in __import__("os").walk(t))
+    assert after == before - res["deleted_files"]
+    # default grace period protects fresh unreferenced files
+    import os as _os
+    stray = _os.path.join(t, "data", "stray.parquet")
+    _os.makedirs(_os.path.dirname(stray), exist_ok=True)
+    with open(stray, "wb") as fh:
+        fh.write(b"x")
+    assert ice.remove_orphan_files(t) == {"deleted_files": 0}
+    assert _os.path.exists(stray)
