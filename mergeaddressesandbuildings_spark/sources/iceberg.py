@@ -1701,3 +1701,67 @@ def remove_orphan_files(table_dir: str,
             except OSError:
                 pass
     return {"deleted_files": deleted}
+
+
+def merge_upsert(spark: SparkSession, table_dir: str,
+                 updates: DataFrame, keys: list[str]) -> int:
+    """Row-level MERGE (upsert) as ONE atomic snapshot: an equality
+    delete on ``keys`` for the incoming rows plus the appended rows,
+    committed together (operation `overwrite`). Existing rows whose
+    keys match an update are superseded; unmatched incoming rows are
+    inserts. Both manifests share the new sequence number, so per the
+    spec's `data_seq < delete_seq` rule the delete erases only PRIOR
+    file generations — the rows appended by this same commit survive.
+    Merge-on-read: no existing data file is rewritten; a later
+    compact_table materializes. This is the rolling-crawl upsert shape
+    (latest capture of each url wins) at 100 TB: commit cost is
+    O(delta), never O(table)."""
+    meta = load_metadata(table_dir)
+    schema = _current_schema(meta)
+    by_name = _field_by_name(schema)
+    for k in keys:
+        if k not in by_name:
+            raise IcebergError(f"merge key {k!r} not in schema")
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    by_id = _field_by_id(schema)
+    partition_by = [by_id[f["source-id"]]["name"]
+                    for f in spec["fields"]]
+    pfields = _partition_fields(schema, partition_by)
+    updates = updates.select(*[
+        F.col(f["name"]).cast(_ice_type_to_spark(f["type"]))
+        .alias(f["name"]) for f in schema["fields"]])
+
+    sid_next = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    seq_next = meta["last-sequence-number"] + 1
+    att = _attempt_id()
+
+    dels_root = os.path.join(table_dir, "data",
+                             f"upsert-del-{sid_next}-{att}")
+    (updates.select(*keys).distinct().coalesce(1)
+     .write.mode("errorifexists").parquet(dels_root))
+    eq_ids = [by_name[k]["id"] for k in keys]
+    del_entries = [_data_file_entry(p, {}, schema, content=2,
+                                    equality_ids=eq_ids)
+                   for p in _list_parquet(dels_root)]
+    del_manifest = _write_manifest(table_dir, sid_next, seq_next,
+                                   del_entries, pfields, schema,
+                                   f"upsert-del-{att}")
+
+    data_root = os.path.join(table_dir, "data",
+                             f"upsert-{sid_next}-{att}")
+    w = updates.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(data_root)
+    part_types = {p["name"]: p["ice_type"] for p in pfields}
+    data_entries = [
+        _data_file_entry(p, _hive_partition(p, data_root, part_types),
+                         schema)
+        for p in _list_parquet(data_root)]
+    data_manifest = _write_manifest(table_dir, sid_next, seq_next,
+                                    data_entries, pfields, schema,
+                                    f"upsert-data-{att}")
+    return _commit_snapshot(
+        table_dir,
+        _existing_manifests(meta) + [del_manifest, data_manifest],
+        "overwrite", meta, schema, pfields)

@@ -805,3 +805,41 @@ def test_remove_orphan_files(spark, tmp_path):
         fh.write(b"x")
     assert ice.remove_orphan_files(t) == {"deleted_files": 0}
     assert _os.path.exists(stray)
+
+
+def test_merge_upsert_single_atomic_snapshot(spark, tmp_path):
+    from pyspark.sql import functions as F
+    docs = _docs(spark)
+    t = str(tmp_path / "t")
+    ice.write_iceberg(docs, t, partition_by=["lang"])
+    n_snaps = len(ice.load_metadata(t)["snapshots"])
+    pre = _rows(ice.read_iceberg(spark, t))
+
+    # update a third of the rows (bump n_chars) + insert fresh keys
+    updates = (docs.filter("doc_id % 3 = 0")
+               .withColumn("n_chars", F.col("n_chars") + 1000)
+               .unionByName(docs.limit(5).withColumn(
+                   "doc_id", F.col("doc_id") + 5_000_000)))
+    sid = ice.merge_upsert(spark, t, updates, keys=["doc_id"])
+
+    # exactly ONE new snapshot carries both delete + append
+    meta = ice.load_metadata(t)
+    assert len(meta["snapshots"]) == n_snaps + 1
+    assert meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+
+    expected = (docs.filter("doc_id % 3 != 0").unionByName(updates))
+    assert _rows(ice.read_iceberg(spark, t)) == _rows(expected)
+    # the same-commit inserts survived their own equality delete
+    got = ice.read_iceberg(spark, t)
+    assert got.filter("doc_id >= 5000000").count() == 5
+    # pre-upsert state intact via time travel
+    assert _rows(ice.read_iceberg(spark, t, snapshot_id=sid - 1)) == pre
+    # a second upsert on the same keys converges (idempotent re-apply)
+    ice.merge_upsert(spark, t, updates, keys=["doc_id"])
+    assert _rows(ice.read_iceberg(spark, t)) == _rows(expected)
+    # compaction materializes the MoR state away, content unchanged
+    ice.compact_table(spark, t)
+    assert _rows(ice.read_iceberg(spark, t)) == _rows(expected)
+
+    with pytest.raises(ice.IcebergError, match="not in schema"):
+        ice.merge_upsert(spark, t, updates, keys=["nope"])
